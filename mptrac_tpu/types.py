@@ -1,0 +1,224 @@
+"""Core state containers (pytrees).
+
+TPU-native rebuild of the MPTRAC data model (reference
+/root/reference/src/mptrac.h:2284-3832).  Differences from the
+reference, by design:
+
+* All containers are JAX pytrees of ``jnp`` arrays with **static
+  shapes** — particle capacity ``npmax`` replaces the dynamic
+  ``atm->np`` (the reference grows/shrinks np during domain
+  decomposition, c:2265); a validity mask plus an ``np`` scalar carry
+  the live count instead.
+* ``Met`` holds one meteo snapshot; the stepper takes a ``MetPair``
+  whose fields are stacked ``[2, ...]`` arrays (met0, met1) so that
+  time interpolation is one fused lerp instead of pointer swapping
+  (reference c:6232-6284).
+* Struct-of-arrays layout is kept (``atm_t``, h:3341): it is exactly
+  the layout vmap/XLA want.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _register(cls, data_fields, meta_fields=()):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields))
+    return cls
+
+
+@dataclass
+class Atm:
+    """Particle state, struct-of-arrays (reference atm_t, mptrac.h:3341).
+
+    time [s since 2000-01-01], p [hPa], lon/lat [deg] (or x/y [m] on
+    Cartesian grids), q: dict of per-quantity arrays [npmax].
+    ``np`` is the number of live particles (traced scalar); indices
+    >= np are padding.
+    """
+    time: jnp.ndarray
+    p: jnp.ndarray
+    lon: jnp.ndarray
+    lat: jnp.ndarray
+    q: Dict[str, jnp.ndarray]
+    np: jnp.ndarray  # int32 scalar
+
+    @property
+    def npmax(self) -> int:
+        return self.time.shape[-1]
+
+    @property
+    def mask(self) -> jnp.ndarray:
+        """Validity mask over the particle capacity axis."""
+        return jnp.arange(self.npmax) < self.np
+
+    @staticmethod
+    def zeros(npmax: int, qnt_names=(), dtype=jnp.float64) -> "Atm":
+        return Atm(
+            time=jnp.zeros(npmax, dtype),
+            p=jnp.zeros(npmax, dtype),
+            lon=jnp.zeros(npmax, dtype),
+            lat=jnp.zeros(npmax, dtype),
+            q={n: jnp.zeros(npmax, dtype) for n in qnt_names},
+            np=jnp.asarray(0, jnp.int32),
+        )
+
+    def replace(self, **kw) -> "Atm":
+        return dataclasses.replace(self, **kw)
+
+
+_register(Atm, ["time", "p", "lon", "lat", "q", "np"])
+
+
+@dataclass
+class Cache:
+    """Per-particle scratch persisting across steps (reference cache_t,
+    mptrac.h:3396): AR(1) mesoscale wind perturbations ``uvwp`` [3, npmax]
+    (float32 like the reference), per-particle timestep ``dt`` [npmax],
+    and the global Squares RNG counter (reference rng_ctr, mptrac.c:35).
+    """
+    uvwp: jnp.ndarray          # [3, npmax] float32
+    dt: jnp.ndarray            # [npmax]
+    rng_ctr: jnp.ndarray       # uint64 scalar
+    iso_var: jnp.ndarray       # [npmax] isosurface variable (module_isosurf)
+    iso_ps: jnp.ndarray        # balloon pressure track [nmax]
+    iso_ts: jnp.ndarray        # balloon time track [nmax]
+    iso_n: jnp.ndarray         # int32 scalar
+
+    @staticmethod
+    def zeros(npmax: int, dtype=jnp.float64, iso_nmax: int = 1) -> "Cache":
+        return Cache(
+            uvwp=jnp.zeros((3, npmax), jnp.float32),
+            dt=jnp.zeros(npmax, dtype),
+            rng_ctr=jnp.asarray(0, jnp.uint64),
+            iso_var=jnp.zeros(npmax, dtype),
+            iso_ps=jnp.zeros(iso_nmax, dtype),
+            iso_ts=jnp.zeros(iso_nmax, dtype),
+            iso_n=jnp.asarray(0, jnp.int32),
+        )
+
+    def replace(self, **kw) -> "Cache":
+        return dataclasses.replace(self, **kw)
+
+
+_register(Cache, ["uvwp", "dt", "rng_ctr", "iso_var", "iso_ps", "iso_ts",
+                  "iso_n"])
+
+
+#: 3-D fields of a meteo snapshot on pressure levels
+#: (reference met_t, mptrac.h:3595-3765)
+MET_3D_FIELDS = ("z", "t", "u", "v", "w", "pv", "h2o", "o3",
+                 "lwc", "rwc", "iwc", "swc", "cc")
+#: 3-D fields on model levels (CLaMS / diabatic transport)
+MET_3D_ML_FIELDS = ("pl", "ul", "vl", "wl", "zetal", "zeta_dotl")
+#: 2-D surface fields
+MET_2D_FIELDS = ("ps", "ts", "zs", "us", "vs", "ess", "nss", "shf",
+                 "lsm", "sst", "pbl", "pt", "tt", "zt", "h2ot",
+                 "pct", "pcb", "cl", "plcl", "plfc", "pel", "cape",
+                 "cin", "o3c")
+
+
+@dataclass
+class Met:
+    """One gridded meteo snapshot (reference met_t, mptrac.h:3595).
+
+    Axis layout follows the reference: 3-D fields are [nx, ny, npl]
+    (lon, lat, level) float32; 2-D fields [nx, ny].  ``lon`` is a
+    regular axis (locate_reg); ``lat`` and ``p`` may be irregular.
+    ``coord_type`` 0 = lat/lon, 1 = Cartesian (static).
+    """
+    time: jnp.ndarray                 # scalar [s]
+    lon: jnp.ndarray                  # [nx]
+    lat: jnp.ndarray                  # [ny]
+    p: jnp.ndarray                    # [npl] pressure levels [hPa]
+    hybrid: jnp.ndarray               # [npl] hybrid coordinate
+    fields2d: Dict[str, jnp.ndarray]  # each [nx, ny]
+    fields3d: Dict[str, jnp.ndarray]  # each [nx, ny, npl]
+    coord_type: int = 0               # static
+    npl_ml: int = 0                   # static: number of model levels
+
+    @property
+    def nx(self) -> int:
+        return self.lon.shape[0]
+
+    @property
+    def ny(self) -> int:
+        return self.lat.shape[0]
+
+    @property
+    def npl(self) -> int:
+        return self.p.shape[0]
+
+    def f2(self, name: str) -> jnp.ndarray:
+        return self.fields2d[name]
+
+    def f3(self, name: str) -> jnp.ndarray:
+        return self.fields3d[name]
+
+    def replace(self, **kw) -> "Met":
+        return dataclasses.replace(self, **kw)
+
+
+_register(Met, ["time", "lon", "lat", "p", "hybrid", "fields2d", "fields3d"],
+          ["coord_type", "npl_ml"])
+
+
+def stack_met(met0: Met, met1: Met) -> Met:
+    """Stack two time-bracketing snapshots along a new leading axis.
+
+    Returns a Met whose array fields have shape [2, ...]; this is the
+    form consumed by the interpolation kernels (replaces the reference
+    met0/met1 pointer pair, c:6232).
+    """
+    return jax.tree.map(lambda a, b: jnp.stack([a, b]), met0, met1)
+
+
+@dataclass
+class Clim:
+    """Climatological data (reference clim_t, mptrac.h:3536-3586)."""
+    # Zonal-mean tropopause (built-in table, reference c:241-396)
+    tropo_time: jnp.ndarray          # [ntime]
+    tropo_lat: jnp.ndarray           # [nlat]
+    tropo: jnp.ndarray               # [ntime, nlat] hPa
+    # Photolysis table (clim_photo_t h:3428): rates [np, nsza, no3c]
+    photo_p: jnp.ndarray
+    photo_sza: jnp.ndarray
+    photo_o3c: jnp.ndarray
+    photo: Dict[str, jnp.ndarray]
+    # Zonal mean fields (clim_zm_t h:3504): vmr [ntime, nlat, np]
+    zm: Dict[str, "ClimZm"]
+    # Time series (clim_ts_t h:3484)
+    ts: Dict[str, "ClimTs"]
+
+    def replace(self, **kw) -> "Clim":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass
+class ClimZm:
+    """One zonal-mean climatology (reference clim_zm_t, mptrac.h:3504)."""
+    time: jnp.ndarray    # [ntime]
+    lat: jnp.ndarray     # [nlat]
+    p: jnp.ndarray       # [np]
+    vmr: jnp.ndarray     # [ntime, nlat, np]
+
+
+@dataclass
+class ClimTs:
+    """One climatological time series (reference clim_ts_t, mptrac.h:3484)."""
+    time: jnp.ndarray    # [ntime]
+    vmr: jnp.ndarray     # [ntime]
+
+
+_register(ClimZm, ["time", "lat", "p", "vmr"])
+_register(ClimTs, ["time", "vmr"])
+_register(Clim, ["tropo_time", "tropo_lat", "tropo",
+                 "photo_p", "photo_sza", "photo_o3c", "photo", "zm", "ts"])
