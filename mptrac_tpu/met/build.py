@@ -1,0 +1,95 @@
+"""Met snapshot assembly: read + preprocess -> Met.
+
+Orchestrates the reference ``mptrac_read_met`` chain
+(/root/reference/src/mptrac.c:7436-7545) on the host and uploads the
+finished fields to device arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mptrac_tpu.config import Ctl
+from mptrac_tpu.types import Met
+
+
+def interp_columns_at(field3, lon, lat, p, ptarget, coord_type=0):
+    """Sample a 3-D field at per-column target pressures on its own
+    grid points (used for tropopause diagnostics, reference
+    c:11983-12006: intpol_met_space_3d at every (lon[ix], lat[iy])).
+
+    On grid points the horizontal weights are exactly 1, so this is a
+    pure vertical interpolation in the reference weight convention.
+    """
+    f = field3.astype(np.float64)
+    pt = ptarget.astype(np.float64)
+    npl = p.size
+    # reference locate_irr on descending p
+    if p[1] > p[0]:
+        iz = np.clip(np.searchsorted(p, pt, side="right") - 1, 0, npl - 2)
+    else:
+        iz = np.clip(np.searchsorted(-p, -pt, side="left") - 1, 0, npl - 2)
+    iz = np.where(np.isfinite(pt), iz, 0).astype(np.int64)
+    wz = (p[iz + 1] - pt) / (p[iz + 1] - p[iz])
+    lo = np.take_along_axis(f, iz[..., None], -1)[..., 0]
+    hi = np.take_along_axis(f, iz[..., None] + 1, -1)[..., 0]
+    out = wz * (lo - hi) + hi
+    return np.where(np.isfinite(pt), out, np.nan).astype(np.float32)
+
+
+def read_met(filename: str, ctl: Ctl, clim=None) -> Met:
+    """Read one meteo file and run the preprocessing chain
+    (reference mptrac_read_met, c:7436)."""
+    from mptrac_tpu.met import process
+    from mptrac_tpu.met.read_nc import read_met_nc
+
+    if ctl.met_type != 0:
+        raise NotImplementedError(
+            f"MET_TYPE {ctl.met_type} not implemented yet")
+
+    raw = read_met_nc(filename, ctl)
+    lon = raw["lon"]
+    lat = raw["lat"]
+    p = raw["p"]
+    f2: Dict[str, np.ndarray] = raw["fields2d"]
+    f3: Dict[str, np.ndarray] = raw["fields3d"]
+
+    if p[0] < p[-1]:
+        raise ValueError("Pressure levels must be descending!")
+
+    # Preprocessing chain in reference order (c:7480-7530)
+    process.extrapolate(f3)
+    process.polar_winds(lon, lat, f3, ctl.met_coord_type)
+    if ctl.met_coord_type == 0:
+        lon, f2, f3 = process.periodic(lon, f2, f3)
+    # (downsampling read_met_sample: not yet implemented — strides of 1
+    # are the default and a no-op)
+    if (ctl.met_dx, ctl.met_dy, ctl.met_dp) != (1, 1, 1) or \
+       (ctl.met_sx, ctl.met_sy, ctl.met_sp) != (1, 1, 1):
+        raise NotImplementedError("MET_DX/DY/DP/SX/SY/SP downsampling")
+    process.geopot(ctl, lon, lat, p, f2, f3)
+    process.pv(lon, lat, p, f3, ctl.met_coord_type)
+    process.pbl(ctl, lon, lat, p, f2, f3)
+    process.tropopause(ctl, clim, raw["time"], lon, lat, p, f2, f3)
+    process.cloud(lon, lat, p, f2, f3)
+    if ctl.met_cape == 1:
+        from mptrac_tpu.met.cape import compute_cape
+        compute_cape(ctl, raw["time"], lon, lat, p, f2, f3)
+    process.ozone_column(p, f2, f3)
+    if ctl.met_detrend > 0:
+        raise NotImplementedError("MET_DETREND")
+
+    return Met(
+        time=jnp.asarray(float(raw["time"])),
+        lon=jnp.asarray(lon, jnp.float64),
+        lat=jnp.asarray(lat, jnp.float64),
+        p=jnp.asarray(p, jnp.float64),
+        hybrid=jnp.asarray(raw["hybrid"], jnp.float64),
+        fields2d={k: jnp.asarray(v, jnp.float32) for k, v in f2.items()},
+        fields3d={k: jnp.asarray(v, jnp.float32) for k, v in f3.items()},
+        coord_type=ctl.met_coord_type,
+        npl_ml=raw["npl_ml"],
+    )

@@ -12,6 +12,12 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The environment's axon (remote TPU) plugin overrides jax_platforms at
+# registration; force CPU selection for the test suite regardless.
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib  # noqa: E402
 
 import pytest  # noqa: E402
