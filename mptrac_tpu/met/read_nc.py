@@ -39,18 +39,22 @@ def time_from_filename(filename: str, offset: int = 16) -> float:
     return time2jsec(year, mon, day, hour)
 
 
-def get_met_filename(ctl: Ctl, t: float) -> str:
+def get_met_filename(ctl: Ctl, t: float, direct: int) -> str:
     """Template the meteo filename for time t (reference
-    get_met_filename, c:2619): round t to the met time step and expand
-    YYYY/MM/DD/HH into ``<metbase>_YYYY_MM_DD_HH.<ext>``."""
+    get_met_filename, c:2619): round t down (direct=-1) or up (+1) to
+    the met time step and expand YYYY/MM/DD/HH into
+    ``<metbase>_YYYY_MM_DD_HH.<ext>``."""
     from mptrac_tpu.timeutil import jsec2time
     import math
-    if ctl.direction == -1:
+    if direct == -1:
         t6 = math.floor(t / ctl.dt_met) * ctl.dt_met
     else:
         t6 = math.ceil(t / ctl.dt_met) * ctl.dt_met
     year, mon, day, hour, _, _, _ = jsec2time(t6)
-    ext = {0: "nc", 6: "grb"}.get(ctl.met_type, "bin")
+    if ctl.met_clams:
+        return f"{ctl.metbase}_{year % 100:02d}{mon:02d}{day:02d}{hour:02d}.nc"
+    ext = {0: "nc", 1: "bin", 2: "pck", 3: "zfp", 4: "zstd", 5: "cms",
+           6: "grb", 7: "sz3", 8: "lz4"}.get(ctl.met_type, "nc")
     return f"{ctl.metbase}_{year:04d}_{mon:02d}_{day:02d}_{hour:02d}.{ext}"
 
 

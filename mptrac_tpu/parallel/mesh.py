@@ -1,0 +1,91 @@
+"""Device-mesh sharding for particle data parallelism.
+
+Replaces the reference's OpenMP particle loops + MPI ensemble/domain
+machinery (/root/reference/src/mptrac.h:1536 PARTICLE_LOOP, trac.c:69
+MPI task farm) with jax.sharding: particles are sharded over a 1-D
+``dp`` mesh axis (met fields replicated per device), and the timestep
+graph is jitted with those shardings so every module's elementwise and
+gather work runs fully parallel across chips with no communication.
+
+Spatial domain decomposition (sharded met + parcel migration) lives in
+:mod:`mptrac_tpu.parallel.dd`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mptrac_tpu.types import Atm, Cache, Met
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def particle_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_atm(atm: Atm, mesh: Mesh, axis: str = "dp") -> Atm:
+    """Place particle arrays sharded over the mesh; np scalar
+    replicated.  Capacity must divide the mesh size (pad first)."""
+    ps = particle_sharding(mesh, axis)
+    rep = replicated(mesh)
+
+    def put(x):
+        return jax.device_put(x, ps if x.ndim >= 1 else rep)
+
+    return Atm(
+        time=put(atm.time), p=put(atm.p), lon=put(atm.lon),
+        lat=put(atm.lat),
+        q={k: put(v) for k, v in atm.q.items()},
+        np=jax.device_put(atm.np, rep))
+
+
+def shard_cache(cache: Cache, mesh: Mesh, axis: str = "dp") -> Cache:
+    ps = particle_sharding(mesh, axis)
+    rep = replicated(mesh)
+    uvwp_s = NamedSharding(mesh, P(None, axis))
+    return Cache(
+        uvwp=jax.device_put(cache.uvwp, uvwp_s),
+        dt=jax.device_put(cache.dt, ps),
+        rng_ctr=jax.device_put(cache.rng_ctr, rep),
+        iso_var=jax.device_put(cache.iso_var, ps),
+        iso_ps=jax.device_put(cache.iso_ps, rep),
+        iso_ts=jax.device_put(cache.iso_ts, rep),
+        iso_n=jax.device_put(cache.iso_n, rep))
+
+
+def replicate_met(met: Met, mesh: Mesh) -> Met:
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), met)
+
+
+def pad_to_multiple(atm: Atm, multiple: int) -> Atm:
+    """Grow particle capacity to a multiple of the mesh size (static
+    shapes; padded entries are masked by atm.np)."""
+    import jax.numpy as jnp
+    npmax = atm.npmax
+    target = ((npmax + multiple - 1) // multiple) * multiple
+    if target == npmax:
+        return atm
+    pad = target - npmax
+
+    def padarr(x):
+        if x.ndim == 0:
+            return x
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    return Atm(time=padarr(atm.time), p=padarr(atm.p),
+               lon=padarr(atm.lon), lat=padarr(atm.lat),
+               q={k: padarr(v) for k, v in atm.q.items()}, np=atm.np)

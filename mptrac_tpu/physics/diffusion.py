@@ -1,0 +1,181 @@
+"""Stochastic turbulent and mesoscale diffusion.
+
+Reference: module_diff_turb (/root/reference/src/mptrac.c:4580-4730),
+module_diff_meso (c:4258-4335), pbl_weight (c:8034), tropo_weight
+(c:12424).  Random numbers are drawn from the Squares counter RNG in
+exactly the reference's per-module order (3*np normals + counter
+advance), so runs are cross-checkable bit-for-bit against the
+reference.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mptrac_tpu.climatology import clim_tropo
+from mptrac_tpu.config import Ctl
+from mptrac_tpu.constants import H0
+from mptrac_tpu.ops import interp
+from mptrac_tpu.ops.rng import module_rng
+from mptrac_tpu.ops.thermo import dx2coord, dy2coord, dz2dp
+from mptrac_tpu.types import Atm, Cache, Clim, Met
+
+
+def pbl_weight(ctl: Ctl, p, pbl, ps):
+    """PBL blending weight (reference pbl_weight, c:8034)."""
+    p1 = pbl - ctl.turb_pbl_trans * (ps - pbl)
+    p0 = pbl
+    w = (p - p1) / jnp.where(p0 != p1, p0 - p1, 1.0)
+    return jnp.where(p > p0, 1.0, jnp.where(p < p1, 0.0, w))
+
+
+def tropo_weight(ctl: Ctl, clim: Clim, time, lat, p):
+    """Troposphere blending weight around the climatological tropopause
+    (reference tropo_weight, c:12424)."""
+    lat_ref = lat if ctl.met_coord_type == 0 else ctl.met_utm_ref_lat
+    pt = clim_tropo(clim, time, lat_ref)
+    p1 = pt * 0.866877899
+    p0 = pt / 0.866877899
+    w = (p - p1) / (p0 - p1)
+    return jnp.where(p > p0, 1.0, jnp.where(p < p1, 0.0, w))
+
+
+def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
+                     atm: Atm):
+    """Langevin random-walk diffusion with well-mixed vertical drift
+    correction (reference c:4580-4730)."""
+    n = atm.npmax
+    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1)
+    rs = rs.reshape(n, 3)
+    cache = cache.replace(rng_ctr=ctr)
+
+    dt = cache.dt
+    active = (dt != 0.0) & atm.mask
+
+    loc = interp.locate_3d(met01, atm.lon, atm.lat, atm.p)
+    pbl = interp.interp_time_2d(met01, "pbl", atm.time, loc)
+    if ctl.turb_pbl_scheme > 0:
+        active = active & ~(atm.p >= pbl)
+    ps = interp.interp_time_2d(met01, "ps", atm.time, loc)
+    p_grid = met01.p[0] if met01.p.ndim == 2 else met01.p
+    ptop = p_grid[-1]
+
+    def kz_at(p):
+        wpbl = pbl_weight(ctl, p, pbl, ps)
+        wtrop = tropo_weight(ctl, clim, atm.time, atm.lat, p) * (1.0 - wpbl)
+        wstrat = 1.0 - wpbl - wtrop
+        return (wpbl * ctl.turb_dz_pbl + wtrop * ctl.turb_dz_trop
+                + wstrat * ctl.turb_dz_strat), wpbl, wtrop, wstrat
+
+    kz, wpbl, wtrop, wstrat = kz_at(atm.p)
+    kx = (wpbl * ctl.turb_dx_pbl + wtrop * ctl.turb_dx_trop
+          + wstrat * ctl.turb_dx_strat)
+    dt_abs = jnp.abs(dt)
+
+    # Horizontal displacement
+    cart = met01.coord_type != 0
+    sigma_h = jnp.sqrt(2.0 * jnp.maximum(kx, 0.0) * dt_abs)
+    do_h = active & (kx > 0)
+    lon = jnp.where(do_h, atm.lon + dx2coord(rs[:, 0] * sigma_h, atm.lat,
+                                             cart), atm.lon)
+    lat = jnp.where(do_h, atm.lat + dy2coord(rs[:, 1] * sigma_h, cart),
+                    atm.lat)
+
+    # Vertical displacement with drift correction (c:4643-4726)
+    sigma_z = jnp.sqrt(2.0 * jnp.maximum(kz, 0.0) * dt_abs) * 1e-3
+    eps_km = 0.01
+    p_up = jnp.clip(atm.p + dz2dp(eps_km, atm.p), ptop, ps)
+    p_dn = jnp.clip(atm.p + dz2dp(-eps_km, atm.p), ptop, ps)
+    kz_up, _, _, _ = kz_at(p_up)
+    kz_dn, _, _, _ = kz_at(p_dn)
+    dkz_dz = (kz_up - kz_dn) / (2.0 * eps_km * 1e3)
+    w_drift = dkz_dz + kz * (-1.0 / (1e3 * H0))
+    dz_tot = rs[:, 2] * sigma_z + w_drift * dt_abs * 1e-3
+    ptrial = atm.p + dz2dp(dz_tot, atm.p)
+    for _ in range(10):
+        ptrial = jnp.where(ptrial > ps, ps * ps / ptrial, ptrial)
+        ptrial = jnp.where(ptrial < ptop, ptop * ptop / ptrial, ptrial)
+    ptrial = jnp.clip(ptrial, ptop, ps)
+    do_v = active & (kz > 0)
+    p_new = jnp.where(do_v, ptrial, atm.p)
+
+    return atm.replace(lon=lon, lat=lat, p=p_new), cache
+
+
+def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm):
+    """Mesoscale wind fluctuations: AR(1) colored noise scaled to the
+    local subgrid wind variance (reference c:4258-4335).
+
+    The 16-point variance (2x2x2 cells x 2 snapshots) is accumulated in
+    float32 in the reference's summation order for cross-checking.
+    """
+    n = atm.npmax
+    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1)
+    rs = rs.reshape(n, 3)
+    cache = cache.replace(rng_ctr=ctr)
+
+    dt = cache.dt
+    active = (dt != 0.0) & atm.mask
+
+    lons = met01.lon[0] if met01.lon.ndim == 2 else met01.lon
+    lats = met01.lat[0] if met01.lat.ndim == 2 else met01.lat
+    ps = met01.p[0] if met01.p.ndim == 2 else met01.p
+    ix = interp.locate_reg(lons, atm.lon)
+    iy = interp.locate_irr(lats, atm.lat)
+    iz = interp.locate_irr(ps, atm.p)
+
+    u3 = met01.fields3d["u"]
+    v3 = met01.fields3d["v"]
+    w3 = met01.fields3d["w"]
+    nx, ny, npl = u3.shape[-3:]
+
+    def sig(field):
+        flat = field.reshape(2, nx * ny * npl)
+        mean = jnp.zeros(n, jnp.float32)
+        msq = jnp.zeros(n, jnp.float32)
+        for di in (0, 1):
+            for dj in (0, 1):
+                for dk in (0, 1):
+                    idx = ((ix + di) * ny + (iy + dj)) * npl + (iz + dk)
+                    for t in (0, 1):
+                        val = jnp.take(flat[t], idx)
+                        mean = mean + val
+                        msq = msq + val * val
+        var = msq / jnp.float32(16.0) - (mean / jnp.float32(16.0)) ** 2
+        return jnp.where(var > 0, jnp.sqrt(var), 0.0).astype(jnp.float32)
+
+    usig = sig(u3)
+    vsig = sig(v3)
+    wsig = sig(w3)
+
+    r = 1.0 - 2.0 * jnp.abs(dt) / ctl.dt_met
+    r2 = jnp.sqrt(1.0 - r * r)
+
+    cart = met01.coord_type != 0
+    uvwp = cache.uvwp
+    lon, lat, p = atm.lon, atm.lat, atm.p
+    if ctl.turb_mesox > 0:
+        u_new = (r * uvwp[0] + r2 * rs[:, 0] * ctl.turb_mesox
+                 * usig).astype(jnp.float32)
+        v_new = (r * uvwp[1] + r2 * rs[:, 1] * ctl.turb_mesox
+                 * vsig).astype(jnp.float32)
+        u_new = jnp.where(active, u_new, uvwp[0])
+        v_new = jnp.where(active, v_new, uvwp[1])
+        lon = jnp.where(active,
+                        lon + dx2coord(u_new.astype(lon.dtype) * dt,
+                                       atm.lat, cart), lon)
+        lat = jnp.where(active,
+                        lat + dy2coord(v_new.astype(lat.dtype) * dt, cart),
+                        lat)
+    else:
+        u_new, v_new = uvwp[0], uvwp[1]
+    if ctl.turb_mesoz > 0:
+        w_new = (r * uvwp[2] + r2 * rs[:, 2] * ctl.turb_mesoz
+                 * wsig).astype(jnp.float32)
+        w_new = jnp.where(active, w_new, uvwp[2])
+        p = jnp.where(active, p + w_new.astype(p.dtype) * dt, p)
+    else:
+        w_new = uvwp[2]
+
+    cache = cache.replace(uvwp=jnp.stack([u_new, v_new, w_new]))
+    return atm.replace(lon=lon, lat=lat, p=p), cache

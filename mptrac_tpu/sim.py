@@ -1,0 +1,165 @@
+"""High-level simulation driver.
+
+Equivalent of the reference ``trac`` main loop
+(/root/reference/src/trac.c:95-185) and the ``mptrac_*`` high-level API
+(mptrac_get_met c:6187, mptrac_init c:6312, mptrac_run_timestep c:7545,
+mptrac_write_output c:7919).
+
+The time loop runs on the host; each step invokes one jitted XLA graph
+(recompiled only when the static StepFlags gate pattern changes, of
+which there are at most a few combinations).  Met snapshots are
+double-buffered host-side and uploaded as a stacked [2, ...] pair.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mptrac_tpu.climatology import read_clim
+from mptrac_tpu.config import Ctl, read_ctl
+from mptrac_tpu.io import atm_io
+from mptrac_tpu.met.build import read_met
+from mptrac_tpu.met.read_nc import get_met_filename
+from mptrac_tpu.physics import pipeline
+from mptrac_tpu.physics.timesteps import init_time_range
+from mptrac_tpu.types import Atm, Cache, Clim, Met, stack_met
+
+
+class MetBuffer:
+    """Double-buffered met reader (reference mptrac_get_met, c:6187).
+
+    Keeps the two snapshots bracketing the current time; re-reads one
+    file per met interval crossing and rebuilds the stacked pair.
+    """
+
+    def __init__(self, ctl: Ctl, clim: Clim):
+        self.ctl = ctl
+        self.clim = clim
+        self.met0: Optional[Met] = None
+        self.met1: Optional[Met] = None
+        self._files = (None, None)
+        self.pair: Optional[Met] = None
+
+    def get(self, t: float) -> Met:
+        ctl = self.ctl
+        changed = False
+        if self.met0 is None:
+            # Initial read of both bracketing snapshots (c:6205-6218)
+            f0 = get_met_filename(
+                ctl, t + (-1 if ctl.direction == -1 else 0), -1)
+            f1 = get_met_filename(
+                ctl, t + (1 if ctl.direction == 1 else 0), 1)
+            self.met0 = read_met(f0, ctl, self.clim)
+            self.met1 = (self.met0 if f1 == f0
+                         else read_met(f1, ctl, self.clim))
+            changed = True
+        # Forward: advance when t passes met1 (c:6236-6248)
+        if t > float(self.met1.time):
+            self.met0 = self.met1
+            self.met1 = read_met(get_met_filename(ctl, t, 1), ctl,
+                                 self.clim)
+            changed = True
+        # Backward: advance when t passes met0 (c:6264-6276)
+        if t < float(self.met0.time):
+            self.met1 = self.met0
+            self.met0 = read_met(get_met_filename(ctl, t, -1), ctl,
+                                 self.clim)
+            changed = True
+        if changed:
+            self._check_grids()
+            self.pair = stack_met(self.met0, self.met1)
+        return self.pair
+
+    def _check_grids(self):
+        m0, m1 = self.met0, self.met1
+        import numpy as np
+        if (m0.nx, m0.ny, m0.npl) != (m1.nx, m1.ny, m1.npl):
+            raise ValueError("Meteo grid dimensions do not match!")
+        if not np.allclose(np.asarray(m0.lon), np.asarray(m1.lon),
+                           atol=0.001):
+            raise ValueError("Meteo grid longitudes do not match!")
+
+
+class Simulation:
+    """One model run: ctl + clim + atm + cache + met buffer."""
+
+    def __init__(self, ctl: Ctl, atm: Atm, clim: Optional[Clim] = None,
+                 dirname: str = "."):
+        self.clim = clim if clim is not None else read_clim(ctl)
+        self.ctl = init_time_range(ctl, atm.time[:int(atm.np)])
+        self.atm = atm
+        self.cache = Cache.zeros(atm.npmax, atm.time.dtype)
+        self.metbuf = MetBuffer(self.ctl, self.clim)
+        self.dirname = dirname
+        self._steps: Dict[pipeline.StepFlags, object] = {}
+
+    def _step_fn(self, flags: pipeline.StepFlags):
+        fn = self._steps.get(flags)
+        if fn is None:
+            fn = pipeline.make_step(self.ctl, self.clim, flags)
+            self._steps[flags] = fn
+        return fn
+
+    def _flags(self, t: float) -> pipeline.StepFlags:
+        ctl = self.ctl
+
+        def hit(dt):
+            return dt <= 0 or math.fmod(t, dt) == 0
+
+        return pipeline.StepFlags(
+            do_conv=ctl.conv_dt <= 0 or math.fmod(t, ctl.conv_dt) == 0,
+            do_mixing=hit(ctl.mixing_dt),
+            do_kpp=hit(ctl.dt_kpp),
+            do_meteo=(ctl.met_dt_out > 0
+                      and (ctl.met_dt_out < ctl.dt_mod
+                           or math.fmod(t, ctl.met_dt_out) == 0)),
+        )
+
+    def times(self):
+        """Iterator over model step times (reference trac.c:122-129)."""
+        ctl = self.ctl
+        t = ctl.t_start
+        while ctl.direction * (t - ctl.t_stop) < ctl.dt_mod:
+            yield min(t, ctl.t_stop) if ctl.direction == 1 else max(
+                t, ctl.t_stop)
+            t += ctl.direction * ctl.dt_mod
+
+    def run(self, write_output: bool = True, progress: bool = False):
+        """Run the full time loop."""
+        first = True
+        for t in self.times():
+            met01 = self.metbuf.get(t)
+            if first:
+                self.atm, self.cache = pipeline.init_modules(
+                    self.ctl, self.clim, met01, self.atm, self.cache)
+                first = False
+            step = self._step_fn(self._flags(t))
+            self.atm, self.cache = step(met01, self.atm, self.cache, t)
+            if write_output:
+                self.write_output(t)
+            if progress:
+                print(f"  t={t:.0f}", flush=True)
+        return self.atm
+
+    def write_output(self, t: float):
+        """Output dispatcher (reference mptrac_write_output, c:7919)."""
+        from mptrac_tpu.io import output
+        output.write_output(self.dirname, self.ctl, self.metbuf, self.atm,
+                            t)
+
+
+def run_trac(dirname: str, ctl_file: str, atm_file: str, args=()):
+    """Equivalent of the reference trac driver for one dirlist task
+    (trac.c:95-185)."""
+    ctl_path = os.path.join(dirname, ctl_file)
+    ctl = read_ctl(ctl_path, args)
+    atm_path = os.path.join(dirname, atm_file)
+    atm = atm_io.read_atm(atm_path, ctl)
+    sim = Simulation(ctl, atm, dirname=dirname)
+    sim.run()
+    return sim

@@ -30,11 +30,11 @@ def test_time_from_filename():
 
 def test_met_filename_templating(utm_ctl):
     t = time2jsec(2025, 5, 1, 0, 30)
-    # forward direction rounds up to the next met step
-    assert get_met_filename(utm_ctl, t).endswith("era5_utm32_2025_05_01_01.nc")
-    assert get_met_filename(
-        utm_ctl.replace(direction=-1), t).endswith(
-            "era5_utm32_2025_05_01_00.nc")
+    # direct=+1 rounds up to the next met step, -1 rounds down
+    assert get_met_filename(utm_ctl, t, 1).endswith(
+        "era5_utm32_2025_05_01_01.nc")
+    assert get_met_filename(utm_ctl, t, -1).endswith(
+        "era5_utm32_2025_05_01_00.nc")
 
 
 def test_met_grid(met0):
