@@ -104,24 +104,45 @@ def read_clim_photo(filename: str):
         nc.close()
 
 
+#: fixed monthly-mean time grid [s since year start]
+#: (reference read_clim_zm, c:8455-8467 — same midpoints as the
+#: tropopause table)
+ZM_TIME = np.array([
+    1209600.00, 3888000.00, 6393600.00, 9072000.00, 11664000.00,
+    14342400.00, 16934400.00, 19612800.00, 22291200.00, 24883200.00,
+    27561600.00, 30153600.00])
+
+
 def read_clim_zm(filename: str, varname: str) -> Optional[ClimZm]:
-    """Zonal-mean climatology (reference read_clim_zm, c:8423)."""
-    from scipy.io import netcdf_file
+    """Zonal-mean monthly climatology (reference read_clim_zm, c:8423):
+    fixed monthly time grid, descending pressure, ascending latitude;
+    negative values (data gaps) filled from the nearest valid level."""
+    from mptrac_tpu.io.hdf5 import open_netcdf_any
     if not filename or filename == "-" or not os.path.exists(filename):
         return None
-    nc = netcdf_file(filename, mmap=False)
+    v, nc = open_netcdf_any(filename)
     try:
-        v = nc.variables
-        time = np.array(v["time"][:], np.float64) if "time" in v else (
-            (np.arange(12) + 0.5) / 12.0 * _YEAR_S)
         lat = np.array(v["lat"][:], np.float64)
         p = np.array(v["press"][:], np.float64)
+        if p[0] < p[1]:
+            raise ValueError("Pressure data are not descending!")
+        if lat[0] > lat[1]:
+            raise ValueError("Latitude data are not ascending!")
         vmr = np.array(v[varname][:], np.float64)     # [ntime, np, nlat]
+        # Fill data gaps per (time, lat) column from valid levels
+        bad = vmr < 0
+        if bad.any():
+            npl = p.size
+            first_valid = np.argmax(~bad, axis=1)           # [nt, nlat]
+            filled = np.take_along_axis(
+                vmr, first_valid[:, None, :], axis=1)
+            vmr = np.where(bad, np.broadcast_to(filled, vmr.shape), vmr)
         vmr = vmr.transpose(0, 2, 1)                  # -> [ntime, nlat, np]
-        return ClimZm(time=jnp.asarray(time), lat=jnp.asarray(lat),
+        return ClimZm(time=jnp.asarray(ZM_TIME), lat=jnp.asarray(lat),
                       p=jnp.asarray(p), vmr=jnp.asarray(vmr))
     finally:
-        nc.close()
+        if hasattr(nc, "close"):
+            nc.close()
 
 
 def read_clim_ts(filename: str) -> ClimTs:
@@ -190,15 +211,17 @@ def clim_tropo_np(clim, t, lat):
 
 
 def clim_zm(zm: ClimZm, t, lat, p):
-    """Zonal-mean climatology lookup (reference clim_zm, c:407)."""
+    """Zonal-mean climatology lookup (reference clim_zm, c:414-464):
+    lat/p are clamped to the table range; the seasonal time axis is NOT
+    clamped — the reference linearly extrapolates beyond the monthly
+    midpoints."""
     sec = t - jnp.floor(t / _YEAR_S) * _YEAR_S
     sec = jnp.where(sec < 0, sec + _YEAR_S, sec)
-    sec = jnp.clip(sec, zm.time[0], zm.time[-1])
     lat_c = jnp.clip(lat, zm.lat[0], zm.lat[-1])
     p_c = jnp.clip(p, jnp.minimum(zm.p[0], zm.p[-1]),
                    jnp.maximum(zm.p[0], zm.p[-1]))
     isec = locate_irr(zm.time, sec)
-    ilat = locate_irr(zm.lat, lat_c)
+    ilat = locate_reg(zm.lat, lat_c)
     ip = locate_irr(zm.p, p_c)
 
     def lin(x0, y0, x1, y1, x):

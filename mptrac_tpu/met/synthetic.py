@@ -35,7 +35,10 @@ def make_wind_met(t0: float = 0.0, nx: int = 360, ny: int = 181,
     """
     if u1 is None:
         u1 = u0
-    lon = 360.0 / nx * np.arange(nx)
+    # nx+1 columns: the wraparound column the reference adds in
+    # read_met_periodic (c:11390) is built in directly.
+    nx = nx + 1
+    lon = 360.0 / (nx - 1) * np.arange(nx)
     lat = 180.0 / (ny - 1) * np.arange(ny) - 90.0
     z = z0 + (z1 - z0) * np.arange(nz) / (nz - 1.0)
     p = P0 * np.exp(-z / H0)

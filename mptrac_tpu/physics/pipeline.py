@@ -177,4 +177,6 @@ def init_modules(ctl: Ctl, clim: Clim, met01: Met, atm: Atm,
         from mptrac_tpu.physics.isosurf import module_isosurf_init
         cache = module_isosurf_init(ctl, cache, met01, atm)
     atm = m_advect.module_advect_init(ctl, met01, atm)
+    from mptrac_tpu.physics.chem import module_chem_init
+    atm = module_chem_init(ctl, clim, met01, atm)
     return atm, cache

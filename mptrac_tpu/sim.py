@@ -138,6 +138,10 @@ class Simulation:
                 self.atm, self.cache = pipeline.init_modules(
                     self.ctl, self.clim, met01, self.atm, self.cache)
                 first = False
+            if self.ctl.sort_dt > 0 and math.fmod(t, self.ctl.sort_dt) == 0:
+                from mptrac_tpu.ops.sort import module_sort
+                self.atm, self.cache = module_sort(met01, self.atm,
+                                                   self.cache)
             step = self._step_fn(self._flags(t))
             self.atm, self.cache = step(met01, self.atm, self.cache, t)
             if write_output:
