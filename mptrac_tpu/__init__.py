@@ -19,6 +19,18 @@ import jax
 if not os.environ.get("MPTRAC_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# If the environment selects a platform whose registration failed (e.g.
+# a remote TPU plugin that could not reach its service), fall back to
+# CPU instead of failing every computation.
+try:
+    from jax._src import xla_bridge as _xb
+    _sel = os.environ.get("JAX_PLATFORMS", "")
+    if _sel and not any(p in _xb._backend_factories
+                        for p in _sel.split(",") if p):
+        jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 from mptrac_tpu import constants  # noqa: E402
 from mptrac_tpu.config import Ctl, read_ctl  # noqa: E402
 from mptrac_tpu.types import Atm, Cache, Clim, Met, stack_met  # noqa: E402

@@ -250,6 +250,9 @@ class Ctl:
     met_type: int = 0
     met_clams: int = 0
     met_nc_scale: int = 1
+    met_nc_level: int = 0
+    met_zstd_level: int = -3
+    met_pck_zstd: int = 0
     met_dx: int = 1
     met_dy: int = 1
     met_dp: int = 1
@@ -551,6 +554,9 @@ def read_ctl(filename: Optional[str], args: Sequence[str] = ()) -> Ctl:
     kw["met_type"] = s.scan_int("MET_TYPE", -1, "0")
     kw["met_clams"] = s.scan_int("MET_CLAMS", -1, "0")
     kw["met_nc_scale"] = s.scan_int("MET_NC_SCALE", -1, "1")
+    kw["met_nc_level"] = s.scan_int("MET_NC_LEVEL", -1, "0")
+    kw["met_zstd_level"] = s.scan_int("MET_ZSTD_LEVEL", -1, "-3")
+    kw["met_pck_zstd"] = s.scan_int("MET_PCK_ZSTD", -1, "0")
     kw["met_dx"] = s.scan_int("MET_DX", -1, "1")
     kw["met_dy"] = s.scan_int("MET_DY", -1, "1")
     kw["met_dp"] = s.scan_int("MET_DP", -1, "1")

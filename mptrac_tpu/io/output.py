@@ -1,6 +1,10 @@
 """Output dispatcher (reference mptrac_write_output,
 /root/reference/src/mptrac.c:7919-8009): per-interval file outputs of
-particle, grid, ensemble, CSI, profile, sample, station and VTK data."""
+particle, grid, ensemble, CSI, profile, sample, station and VTK data.
+
+Stateful writers (open files, accumulated statistics) live in an
+:class:`OutputManager` owned by the Simulation.
+"""
 
 from __future__ import annotations
 
@@ -18,51 +22,73 @@ def _stamp(t: float) -> str:
     return f"{year:04d}_{mon:02d}_{day:02d}_{hour:02d}_{minute:02d}_{sec:02d}"
 
 
-def write_output(dirname: str, ctl: Ctl, metbuf, atm: Atm, t: float):
-    stamp = _stamp(t)
+class OutputManager:
+    def __init__(self, dirname: str, ctl: Ctl):
+        from mptrac_tpu.io import writers
+        self.dirname = dirname
+        self.ctl = ctl
+        self.nvtk = 0
+        self.grid = (writers.GridWriter(ctl)
+                     if ctl.grid_basename != "-" else None)
+        self.ens = (writers.EnsWriter(ctl)
+                    if ctl.ens_basename != "-" else None)
+        self.vtk = (writers.VtkWriter(ctl)
+                    if ctl.vtk_basename != "-" else None)
+        self.csi = (writers.CsiWriter(
+            ctl, os.path.join(dirname, f"{ctl.csi_basename}.tab"))
+            if ctl.csi_basename != "-" else None)
+        self.prof = (writers.ProfWriter(
+            ctl, os.path.join(dirname, f"{ctl.prof_basename}.tab"))
+            if ctl.prof_basename != "-" else None)
+        self.sample = (writers.SampleWriter(
+            ctl, os.path.join(dirname, f"{ctl.sample_basename}.tab"))
+            if ctl.sample_basename != "-" else None)
+        self.station = (writers.StationWriter(
+            ctl, os.path.join(dirname, f"{ctl.stat_basename}.tab"))
+            if ctl.stat_basename != "-" else None)
 
-    if ctl.atm_basename != "-" and (
-            math.fmod(t, ctl.atm_dt_out) == 0 or t == ctl.t_stop):
-        ext = {0: "tab", 1: "bin"}.get(ctl.atm_type_out, "nc")
-        fn = os.path.join(dirname, f"{ctl.atm_basename}_{stamp}.{ext}")
-        atm_io.write_atm(fn, ctl, atm, t)
+    def write(self, metbuf, atm: Atm, t: float):
+        ctl = self.ctl
+        stamp = _stamp(t)
+        join = os.path.join
 
-    if ctl.grid_basename != "-" and math.fmod(t, ctl.grid_dt_out) == 0:
-        from mptrac_tpu.io.grid import write_grid
-        ext = "tab" if ctl.grid_type == 0 else "nc"
-        fn = os.path.join(dirname, f"{ctl.grid_basename}_{stamp}.{ext}")
-        write_grid(fn, ctl, metbuf, atm, t)
+        if ctl.atm_basename != "-" and (
+                math.fmod(t, ctl.atm_dt_out) == 0 or t == ctl.t_stop):
+            ext = {0: "tab", 1: "bin"}.get(ctl.atm_type_out, "nc")
+            atm_io.write_atm(
+                join(self.dirname, f"{ctl.atm_basename}_{stamp}.{ext}"),
+                ctl, atm, t)
 
-    if ctl.csi_basename != "-":
-        from mptrac_tpu.io.csi import write_csi
-        fn = os.path.join(dirname, f"{ctl.csi_basename}.tab")
-        write_csi(fn, ctl, atm, t)
+        if self.grid and math.fmod(t, ctl.grid_dt_out) == 0:
+            ext = "tab" if ctl.grid_type == 0 else "nc"
+            self.grid.write(
+                join(self.dirname, f"{ctl.grid_basename}_{stamp}.{ext}"),
+                metbuf, atm, t)
 
-    if ctl.ens_basename != "-" and math.fmod(t, ctl.ens_dt_out) == 0:
-        from mptrac_tpu.io.ens import write_ens
-        fn = os.path.join(dirname, f"{ctl.ens_basename}_{stamp}.tab")
-        write_ens(fn, ctl, atm, t)
+        if self.csi:
+            self.csi.write(atm, t)
 
-    if ctl.prof_basename != "-":
-        from mptrac_tpu.io.prof import write_prof
-        fn = os.path.join(dirname, f"{ctl.prof_basename}.tab")
-        write_prof(fn, ctl, metbuf, atm, t)
+        if self.ens and math.fmod(t, ctl.ens_dt_out) == 0:
+            self.ens.write(
+                join(self.dirname, f"{ctl.ens_basename}_{stamp}.tab"),
+                atm, t)
 
-    if ctl.sample_basename != "-":
-        from mptrac_tpu.io.sample import write_sample
-        fn = os.path.join(dirname, f"{ctl.sample_basename}.tab")
-        write_sample(fn, ctl, metbuf, atm, t)
+        if self.prof:
+            self.prof.write(metbuf, atm, t)
 
-    if ctl.stat_basename != "-":
-        from mptrac_tpu.io.station import write_station
-        fn = os.path.join(dirname, f"{ctl.stat_basename}.tab")
-        write_station(fn, ctl, atm, t)
+        if self.sample:
+            self.sample.write(metbuf, atm, t)
 
-    if ctl.vtk_basename != "-" and math.fmod(t, ctl.vtk_dt_out) == 0:
-        from mptrac_tpu.io.vtk import write_vtk
-        if not hasattr(write_output, "_nvtk") or t == ctl.t_start:
-            write_output._nvtk = 0
-        write_output._nvtk += 1
-        fn = os.path.join(
-            dirname, f"{ctl.vtk_basename}_{write_output._nvtk:05d}.vtk")
-        write_vtk(fn, ctl, atm, t)
+        if self.station:
+            self.station.write(atm, t)
+
+        if self.vtk and math.fmod(t, ctl.vtk_dt_out) == 0:
+            self.nvtk += 1
+            self.vtk.write(
+                join(self.dirname, f"{ctl.vtk_basename}_{self.nvtk:05d}.vtk"),
+                atm, t)
+
+    def close(self):
+        for w in (self.csi, self.prof, self.sample, self.station):
+            if w is not None:
+                w.close()

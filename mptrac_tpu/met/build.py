@@ -46,11 +46,14 @@ def read_met(filename: str, ctl: Ctl, clim=None) -> Met:
     from mptrac_tpu.met import process
     from mptrac_tpu.met.read_nc import read_met_nc
 
-    if ctl.met_type != 0:
+    if ctl.met_type == 0:
+        raw = read_met_nc(filename, ctl)
+    elif ctl.met_type in (1, 2, 4):
+        from mptrac_tpu.met.bin_io import read_met_bin
+        raw = read_met_bin(filename, ctl)
+    else:
         raise NotImplementedError(
             f"MET_TYPE {ctl.met_type} not implemented yet")
-
-    raw = read_met_nc(filename, ctl)
     lon = raw["lon"]
     lat = raw["lat"]
     p = raw["p"]
@@ -59,6 +62,11 @@ def read_met(filename: str, ctl: Ctl, clim=None) -> Met:
 
     if p[0] < p[-1]:
         raise ValueError("Pressure levels must be descending!")
+
+    if ctl.met_type not in (0, 6):
+        # Binary containers store fully preprocessed fields
+        # (reference c:7481 applies the chain to nc/grib only)
+        return _to_met(ctl, raw, lon, lat, p, f2, f3)
 
     # Preprocessing chain in reference order (c:7480-7530)
     process.extrapolate(f3)
@@ -82,6 +90,10 @@ def read_met(filename: str, ctl: Ctl, clim=None) -> Met:
     if ctl.met_detrend > 0:
         raise NotImplementedError("MET_DETREND")
 
+    return _to_met(ctl, raw, lon, lat, p, f2, f3)
+
+
+def _to_met(ctl: Ctl, raw, lon, lat, p, f2, f3) -> Met:
     return Met(
         time=jnp.asarray(float(raw["time"])),
         lon=jnp.asarray(lon, jnp.float64),

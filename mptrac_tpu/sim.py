@@ -97,6 +97,7 @@ class Simulation:
         self.metbuf = MetBuffer(self.ctl, self.clim)
         self.dirname = dirname
         self._steps: Dict[pipeline.StepFlags, object] = {}
+        self._output: Optional[object] = None
 
     def _step_fn(self, flags: pipeline.StepFlags):
         fn = self._steps.get(flags)
@@ -148,13 +149,17 @@ class Simulation:
                 self.write_output(t)
             if progress:
                 print(f"  t={t:.0f}", flush=True)
+        if self._output is not None:
+            self._output.close()
+            self._output = None
         return self.atm
 
     def write_output(self, t: float):
         """Output dispatcher (reference mptrac_write_output, c:7919)."""
-        from mptrac_tpu.io import output
-        output.write_output(self.dirname, self.ctl, self.metbuf, self.atm,
-                            t)
+        from mptrac_tpu.io.output import OutputManager
+        if self._output is None:
+            self._output = OutputManager(self.dirname, self.ctl)
+        self._output.write(self.metbuf, self.atm, t)
 
 
 def run_trac(dirname: str, ctl_file: str, atm_file: str, args=()):

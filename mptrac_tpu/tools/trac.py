@@ -13,16 +13,11 @@ from __future__ import annotations
 
 import sys
 
+from mptrac_tpu.tools._cli import require_args, run_tool
 
-def main(argv=None):
-    argv = list(sys.argv if argv is None else argv)
-    if any(a in ("-h", "--help") for a in argv[1:]):
-        print(__doc__)
-        return 0
-    if len(argv) < 4:
-        raise SystemExit(
-            "Missing or invalid command-line arguments.\n\n"
-            "Usage: trac <dirlist> <ctl> <atm_in> [KEY VALUE ...]")
+
+def main(argv):
+    require_args(argv, 4, "trac <dirlist> <ctl> <atm_in> [KEY VALUE ...]")
     from mptrac_tpu.sim import run_trac
     with open(argv[1]) as f:
         dirnames = [line.strip() for line in f if line.strip()]
@@ -32,4 +27,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run_tool(main))

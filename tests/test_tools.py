@@ -1,0 +1,140 @@
+"""Tool-layer tests: CLI conventions, atm tools, met tools, binary
+container round-trip (the reference's cli_test / atm_test /
+compress_test analogs)."""
+
+import importlib
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+TOOLS = ["trac", "atm_init", "atm_split", "atm_conv", "atm_select",
+         "atm_stat", "atm_dist", "atm2grid", "wind", "met_map",
+         "met_prof", "met_zm", "met_sample", "met_conv", "time2jsec",
+         "jsec2time", "day2doy", "doy2day", "tnat", "sedi", "cape"]
+
+
+@pytest.mark.parametrize("tool", TOOLS)
+def test_cli_conventions(tool, capsys):
+    """Every tool fails without args and succeeds with -h (reference
+    tests/cli_test/run.sh)."""
+    mod = importlib.import_module(f"mptrac_tpu.tools.{tool}")
+    from mptrac_tpu.tools._cli import run_tool
+    rc = run_tool(mod.main, [tool])
+    assert rc not in (0, None)
+    rc = run_tool(mod.main, [tool, "-h"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Usage" in out or "usage" in out
+
+
+def test_calendar_tools(capsys):
+    from mptrac_tpu.tools import day2doy, doy2day, jsec2time, time2jsec
+    from mptrac_tpu.tools._cli import run_tool
+    run_tool(time2jsec.main,
+             ["t", "2011", "6", "5", "0", "0", "0", "0"])
+    t = float(capsys.readouterr().out)
+    run_tool(jsec2time.main, ["j", str(t)])
+    assert capsys.readouterr().out.split()[:3] == ["2011", "6", "5"]
+    run_tool(day2doy.main, ["d", "2011", "6", "5"])
+    assert capsys.readouterr().out.strip() == "156"
+    run_tool(doy2day.main, ["d", "2011", "156"])
+    assert capsys.readouterr().out.split() == ["6", "5"]
+
+
+def test_atm_init_split_roundtrip(tmp_path):
+    from mptrac_tpu.tools import atm_conv, atm_init, atm_split
+    from mptrac_tpu.tools._cli import run_tool
+    ctl = tmp_path / "c.ctl"
+    ctl.write_text("NQ = 2\nQNT_NAME[0] = m\nQNT_NAME[1] = idx\n"
+                   "METBASE = -\nT_STOP = 86400\n")
+    init = tmp_path / "init.tab"
+    rc = run_tool(atm_init.main, [
+        "atm_init", str(ctl), str(init),
+        "INIT_T0", "0", "INIT_T1", "0", "INIT_Z0", "10", "INIT_Z1", "10",
+        "INIT_LON0", "-72", "INIT_LON1", "-72",
+        "INIT_LAT0", "-40", "INIT_LAT1", "-40", "INIT_MASS", "1e9"])
+    assert rc == 0
+    rows = np.loadtxt(init)
+    assert rows.ndim == 1 and rows[2] == -72 and rows[3] == -40
+
+    split = tmp_path / "split.tab"
+    rc = run_tool(atm_split.main, [
+        "atm_split", str(ctl), str(init), str(split),
+        "SPLIT_N", "500", "SPLIT_M", "1e9", "SPLIT_DX", "30",
+        "SPLIT_DZ", "1", "SPLIT_SEED", "42"])
+    assert rc == 0
+    rows = np.loadtxt(split)
+    assert rows.shape[0] == 500
+    # mass conserved in total
+    np.testing.assert_allclose(rows[:, 4].sum(), 1e9, rtol=1e-9)
+    # positions scattered around the source:
+    # sigma = dx2deg(30 km, -40deg) / 2.3548 ~ 0.15 deg
+    assert 0.1 < np.std(rows[:, 2]) < 0.25
+    assert 0.35 < np.std(rows[:, 1]) < 0.55   # 1 km FWHM vertical
+
+    # ASCII -> binary -> ASCII round trip (reference atm_test)
+    binf = tmp_path / "split.bin"
+    asc2 = tmp_path / "split2.tab"
+    run_tool(atm_conv.main, ["atm_conv", str(ctl), str(split), "0",
+                             str(binf), "1"])
+    run_tool(atm_conv.main, ["atm_conv", str(ctl), str(binf), "1",
+                             str(asc2), "0"])
+    rows2 = np.loadtxt(asc2)
+    np.testing.assert_allclose(rows2[:, :4], rows[:, :4], rtol=1e-6)
+
+
+def test_wind_tool_and_met_roundtrip(tmp_path):
+    """wind generates a met file that read_met can ingest; binary
+    container round-trips through met_conv (compress_test analog)."""
+    from mptrac_tpu import read_ctl
+    from mptrac_tpu.met.build import read_met
+    from mptrac_tpu.tools import met_conv, wind
+    from mptrac_tpu.tools._cli import run_tool
+    ctl_file = tmp_path / "c.ctl"
+    ctl_file.write_text("NQ = 0\nMETBASE = -\nT_STOP = 86400\n")
+    rc = run_tool(wind.main, [
+        "wind", str(ctl_file), str(tmp_path / "wind"),
+        "WIND_NX", "36", "WIND_NY", "19", "WIND_NZ", "8"])
+    assert rc == 0
+    metfile = tmp_path / "wind_2000_01_01_00.nc"
+    assert metfile.exists()
+
+    ctl = read_ctl(str(ctl_file), ["MET_TROPO", "0", "MET_CAPE", "0",
+                                   "MET_PBL", "3"])
+    met = read_met(str(metfile), ctl)
+    u = np.asarray(met.fields3d["u"])
+    # solid-body: u = u0 cos(lat); at equator ~38.59
+    iy_eq = np.argmin(np.abs(np.asarray(met.lat)))
+    assert abs(u[5, iy_eq, 3] - 38.5876) < 0.01
+
+    # binary round trip (raw + pck)
+    for met_type, tol in ((1, 0.0), (2, 1e-3)):
+        binf = tmp_path / f"wind.t{met_type}.bin"
+        run_tool(met_conv.main, [
+            "met_conv", str(ctl_file), str(metfile), "0", str(binf),
+            str(met_type), "MET_TROPO", "0", "MET_CAPE", "0"])
+        ctl_bin = read_ctl(str(ctl_file), ["MET_TYPE", str(met_type)])
+        met2 = read_met(str(binf), ctl_bin)
+        u2 = np.asarray(met2.fields3d["u"])
+        # binary stores the preprocessed grid (with wrap column)
+        np.testing.assert_allclose(u2, u, atol=max(tol * 40, 1e-6))
+
+
+def test_atm_stat(tmp_path):
+    from mptrac_tpu.tools import atm_stat
+    from mptrac_tpu.tools._cli import run_tool
+    ctl = tmp_path / "c.ctl"
+    ctl.write_text("NQ = 0\nMETBASE = -\nT_STOP = 86400\n")
+    atmf = tmp_path / "atm_2011_06_05_00_00_00.tab"
+    atmf.write_text("0.0 10.0 -72.0 -40.0\n0.0 12.0 -70.0 -42.0\n")
+    out = tmp_path / "stat.tab"
+    rc = run_tool(atm_stat.main, ["atm_stat", str(ctl), str(out),
+                                  "mean", str(atmf)])
+    assert rc == 0
+    rows = np.loadtxt(out)
+    assert rows[2] == pytest.approx(11.0)     # mean z
+    assert rows[3] == pytest.approx(-71.0)    # mean lon
+    assert int(rows[-1]) == 2
