@@ -25,6 +25,12 @@ from mptrac_tpu.types import Atm, Cache, Met
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"Requested {n}-device mesh but only {len(devs)} devices "
+            "are available (set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N for "
+            "virtual CPU devices)")
     return Mesh(np.array(devs[:n]), (axis,))
 
 

@@ -21,14 +21,17 @@ def module_timesteps(ctl: Ctl, cache: Cache, met0: Met, atm: Atm,
               & (d * (atm.time - t) < 0))
     dt = jnp.where(active, t - atm.time, 0.0)
 
-    lon = met0.lon if met0.lon.ndim == 1 else met0.lon[0]
-    lat = met0.lat if met0.lat.ndim == 1 else met0.lat[0]
-    latmin = jnp.minimum(lat[0], lat[-1])
-    latmax = jnp.maximum(lat[0], lat[-1])
-    local = jnp.abs(lon[-1] - lon[0] - 360.0) >= 0.01
-    outside = ((atm.lon <= lon[0]) | (atm.lon >= lon[-1])
-               | (atm.lat <= latmin) | (atm.lat >= latmax))
-    dt = jnp.where(local & outside, 0.0, dt)
+    if not ctl.dd:
+        lon = met0.lon if met0.lon.ndim == 1 else met0.lon[0]
+        lat = met0.lat if met0.lat.ndim == 1 else met0.lat[0]
+        latmin = jnp.minimum(lat[0], lat[-1])
+        latmax = jnp.maximum(lat[0], lat[-1])
+        local = jnp.abs(lon[-1] - lon[0] - 360.0) >= 0.01
+        outside = ((atm.lon <= lon[0]) | (atm.lon >= lon[-1])
+                   | (atm.lat <= latmin) | (atm.lat >= latmax))
+        dt = jnp.where(local & outside, 0.0, dt)
+    # dd mode: parcels are in their owner's tile by construction; the
+    # reference instead freezes on current_subdomain == -1 (c:5847)
     dt = jnp.where(atm.mask, dt, 0.0)
     return cache.replace(dt=dt)
 

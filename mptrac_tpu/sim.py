@@ -86,18 +86,37 @@ class MetBuffer:
 
 
 class Simulation:
-    """One model run: ctl + clim + atm + cache + met buffer."""
+    """One model run: ctl + clim + atm + cache + met buffer.
+
+    ``checkpoint_file``/``checkpoint_dt`` enable periodic full-state
+    checkpoints (framework extension; the reference is restartable only
+    through atm outputs, see mptrac_tpu.checkpoint).
+    """
 
     def __init__(self, ctl: Ctl, atm: Atm, clim: Optional[Clim] = None,
-                 dirname: str = "."):
+                 dirname: str = ".", checkpoint_file: Optional[str] = None,
+                 checkpoint_dt: float = 0.0):
+        from mptrac_tpu.utils.timers import Timers
         self.clim = clim if clim is not None else read_clim(ctl)
         self.ctl = init_time_range(ctl, atm.time[:int(atm.np)])
         self.atm = atm
         self.cache = Cache.zeros(atm.npmax, atm.time.dtype)
         self.metbuf = MetBuffer(self.ctl, self.clim)
         self.dirname = dirname
+        self.timers = Timers()
+        self.checkpoint_file = checkpoint_file
+        self.checkpoint_dt = checkpoint_dt
+        self._resume_t: Optional[float] = None
         self._steps: Dict[pipeline.StepFlags, object] = {}
         self._output: Optional[object] = None
+
+    def resume(self, path: Optional[str] = None):
+        """Restore state from a checkpoint and continue from its time."""
+        from mptrac_tpu.checkpoint import load_checkpoint
+        self.atm, self.cache, t, _ = load_checkpoint(
+            path or self.checkpoint_file)
+        self._resume_t = t
+        return self
 
     def _step_fn(self, flags: pipeline.StepFlags):
         fn = self._steps.get(flags)
@@ -134,19 +153,32 @@ class Simulation:
         """Run the full time loop."""
         first = True
         for t in self.times():
-            met01 = self.metbuf.get(t)
+            if self._resume_t is not None and \
+                    self.ctl.direction * (t - self._resume_t) <= 0:
+                continue
+            with self.timers.timer("GET_MET", "INPUT"):
+                met01 = self.metbuf.get(t)
             if first:
                 self.atm, self.cache = pipeline.init_modules(
                     self.ctl, self.clim, met01, self.atm, self.cache)
                 first = False
             if self.ctl.sort_dt > 0 and math.fmod(t, self.ctl.sort_dt) == 0:
-                from mptrac_tpu.ops.sort import module_sort
-                self.atm, self.cache = module_sort(met01, self.atm,
-                                                   self.cache)
+                with self.timers.timer("MODULE_SORT", "PHYSICS"):
+                    from mptrac_tpu.ops.sort import module_sort
+                    self.atm, self.cache = module_sort(met01, self.atm,
+                                                       self.cache)
             step = self._step_fn(self._flags(t))
-            self.atm, self.cache = step(met01, self.atm, self.cache, t)
+            with self.timers.timer("RUN_TIMESTEP", "PHYSICS",
+                                   sync=None):
+                self.atm, self.cache = step(met01, self.atm, self.cache, t)
             if write_output:
-                self.write_output(t)
+                with self.timers.timer("WRITE_OUTPUT", "OUTPUT"):
+                    self.write_output(t)
+            if (self.checkpoint_file and self.checkpoint_dt > 0
+                    and math.fmod(t, self.checkpoint_dt) == 0):
+                from mptrac_tpu.checkpoint import save_checkpoint
+                save_checkpoint(self.checkpoint_file, self.atm,
+                                self.cache, t)
             if progress:
                 print(f"  t={t:.0f}", flush=True)
         if self._output is not None:
