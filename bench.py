@@ -11,6 +11,9 @@ number of timed steps and prints ONE JSON line:
 Baseline: the reference's profiling example implies ~8.6e6
 parcel-steps/s for MODULE_ADVECT on a 4-thread CPU
 (/root/reference/docs/manual/profiling.md:60; BASELINE.md).
+
+Default uses the packed-gather f32 interpolation fast path; --exact
+switches to the reference-parity f64 path.
 """
 
 import argparse
@@ -34,6 +37,9 @@ def main():
     ap.add_argument("--nz", type=int, default=61)
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU backend")
+    ap.add_argument("--exact", action="store_true",
+                    help="reference-parity f64 interpolation instead of "
+                         "the packed f32 fast path")
     args = ap.parse_args()
 
     import jax
@@ -47,18 +53,25 @@ def main():
     ctl, clim, met01, atm, cache = g._make_setup(
         args.n_parcels, nx=args.nx, ny=args.ny, nz=args.nz)
 
+    pack = None
+    if not args.exact:
+        from mptrac_tpu.ops.fast_interp import build_advect_pack
+        pack = jax.jit(build_advect_pack)(met01)
+        jax.block_until_ready(pack)
+
     step = jax.jit(
-        lambda m, a, c, t: pipeline.run_timestep(ctl, clim, m, a, c, t))
+        lambda m, a, c, t, p: pipeline.run_timestep(ctl, clim, m, a, c,
+                                                    t, pack=p))
 
     # Warmup / compile
     t = jnp.asarray(ctl.dt_mod, jnp.float64)
-    a, c = step(met01, atm, cache, t)
+    a, c = step(met01, atm, cache, t, pack)
     jax.block_until_ready((a.lon, c.rng_ctr))
 
     t0 = time.time()
     for i in range(args.steps):
         t = jnp.asarray((i + 2) * ctl.dt_mod, jnp.float64)
-        a, c = step(met01, a, c, t)
+        a, c = step(met01, a, c, t, pack)
     jax.block_until_ready((a.lon, c.rng_ctr))
     dt = time.time() - t0
 

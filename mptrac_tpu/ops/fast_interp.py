@@ -1,0 +1,80 @@
+"""Optimized advection interpolation path.
+
+The reference's inner loop gathers u, v, w from met0 and met1
+separately — 48 scalar gathers per RK node (8 corners x 3 fields x 2
+snapshots).  On TPU, gather throughput is dominated by the number of
+rows fetched, not row width; packing the six wind components into one
+row (``[u0 v0 w0 u1 v1 w1 0 0]``, 32 bytes, lane-aligned) turns those
+48 gathers into 8 wide-row gathers per node — ~6x fewer HBM
+transactions on the hot path.
+
+Interpolation arithmetic runs in float32 (the met fields are float32;
+the reference also loses f32 information at the load), while positions
+and the RK accumulation stay in float64.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mptrac_tpu.ops import interp
+from mptrac_tpu.types import Met
+
+
+def build_advect_pack(met01: Met) -> jnp.ndarray:
+    """Precompute the packed wind table [nx*ny*npl, 8] float32 from a
+    stacked met pair.  Done once per met interval (amortized over all
+    steps between met reads)."""
+    u = met01.fields3d["u"]      # [2, nx, ny, npl] f32
+    v = met01.fields3d["v"]
+    w = met01.fields3d["w"]
+    nx, ny, npl = u.shape[-3:]
+    n = nx * ny * npl
+    pack = jnp.stack([
+        u[0].reshape(n), v[0].reshape(n), w[0].reshape(n),
+        u[1].reshape(n), v[1].reshape(n), w[1].reshape(n),
+        jnp.zeros(n, u.dtype), jnp.zeros(n, u.dtype)], axis=-1)
+    return pack
+
+
+def interp_uvw_packed(met01: Met, pack: jnp.ndarray, ts, loc:
+                      "interp.Locator"):
+    """Time + trilinear interpolation of (u, v, w) from the packed
+    table; returns three float64 arrays matching the reference
+    intpol_met_time_3d results to f32 rounding."""
+    u3 = met01.fields3d["u"]
+    nx, ny, npl = u3.shape[-3:]
+    ix, iy, iz = loc.ix, loc.iy, loc.iz
+    base = (ix * ny + iy) * npl + iz
+
+    # 8 corners: offsets in the flattened index space
+    oy = npl
+    ox = ny * npl
+    corners = jnp.stack([
+        base, base + 1, base + oy, base + oy + 1,
+        base + ox, base + ox + 1, base + ox + oy, base + ox + oy + 1],
+        axis=-1)                                       # [np, 8]
+    rows = jnp.take(pack, corners, axis=0)             # [np, 8, 8] f32
+
+    wz = loc.wz.astype(jnp.float32)[:, None]
+    wy = loc.wy.astype(jnp.float32)[:, None]
+    wx = loc.wx.astype(jnp.float32)[:, None]
+
+    # corner order: (dx, dy, dz) = (0,0,0),(0,0,1),(0,1,0),(0,1,1),
+    #                              (1,0,0),(1,0,1),(1,1,0),(1,1,1)
+    c = rows  # [np, corner, comp]
+    a00 = wz * (c[:, 0] - c[:, 1]) + c[:, 1]
+    a01 = wz * (c[:, 2] - c[:, 3]) + c[:, 3]
+    a10 = wz * (c[:, 4] - c[:, 5]) + c[:, 5]
+    a11 = wz * (c[:, 6] - c[:, 7]) + c[:, 7]
+    a0 = wy * (a00 - a01) + a01
+    a1 = wy * (a10 - a11) + a11
+    vals = wx * (a0 - a1) + a1                         # [np, 8]
+
+    t0, t1 = met01.time[0], met01.time[1]
+    wt = ((t1 - ts) / (t1 - t0)).astype(jnp.float64)
+    v0 = vals[:, 0:3].astype(jnp.float64)
+    v1 = vals[:, 3:6].astype(jnp.float64)
+    out = wt[:, None] * (v0 - v1) + v1
+    return out[:, 0], out[:, 1], out[:, 2]

@@ -17,9 +17,10 @@ from mptrac_tpu.ops.thermo import dx2coord, dy2coord
 from mptrac_tpu.types import Atm, Cache, Met
 
 
-def module_advect(ctl: Ctl, cache: Cache, met01: Met, atm: Atm) -> Atm:
+def module_advect(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
+                  pack=None) -> Atm:
     if ctl.advect_vert_coord in (0, 2):
-        return _advect_plev(ctl, cache, met01, atm)
+        return _advect_plev(ctl, cache, met01, atm, pack)
     return _advect_zeta(ctl, cache, met01, atm)
 
 
@@ -31,9 +32,14 @@ def _rk_weight(ctl: Ctl, i: int) -> float:
     return 1.0
 
 
-def _advect_plev(ctl: Ctl, cache: Cache, met01: Met, atm: Atm) -> Atm:
+def _advect_plev(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
+                 pack=None) -> Atm:
     """Kinematic advection with omega on pressure levels
-    (advect_vert_coord 0) or on model levels (2)."""
+    (advect_vert_coord 0) or on model levels (2).
+
+    When a packed wind table is supplied (ops.fast_interp), the
+    per-node interpolation uses one wide-row gather in float32 instead
+    of 48 scalar gathers in float64."""
     cart = met01.coord_type != 0
     dt = cache.dt
     active = (dt != 0.0) & atm.mask
@@ -50,7 +56,11 @@ def _advect_plev(ctl: Ctl, cache: Cache, met01: Met, atm: Atm) -> Atm:
                  atm.lat + dy2coord(dts * v, cart),
                  atm.p + dts * w)
         tm = atm.time + dts
-        if ctl.advect_vert_coord == 0:
+        if ctl.advect_vert_coord == 0 and pack is not None:
+            from mptrac_tpu.ops.fast_interp import interp_uvw_packed
+            loc = interp.locate_3d(met01, x[0], x[1], x[2])
+            u, v, w = interp_uvw_packed(met01, pack, tm, loc)
+        elif ctl.advect_vert_coord == 0:
             loc = interp.locate_3d(met01, x[0], x[1], x[2])
             u = interp.interp_time_3d(met01, "u", tm, loc)
             v = interp.interp_time_3d(met01, "v", tm, loc)

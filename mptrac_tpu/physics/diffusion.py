@@ -29,11 +29,14 @@ def pbl_weight(ctl: Ctl, p, pbl, ps):
     return jnp.where(p > p0, 1.0, jnp.where(p < p1, 0.0, w))
 
 
-def tropo_weight(ctl: Ctl, clim: Clim, time, lat, p):
+def tropo_weight(ctl: Ctl, clim: Clim, time, lat, p, pt=None):
     """Troposphere blending weight around the climatological tropopause
-    (reference tropo_weight, c:12424)."""
-    lat_ref = lat if ctl.met_coord_type == 0 else ctl.met_utm_ref_lat
-    pt = clim_tropo(clim, time, lat_ref)
+    (reference tropo_weight, c:12424).  Pass ``pt`` to reuse an
+    already-computed tropopause pressure (clim_tropo only depends on
+    time and latitude, not on the probed pressure)."""
+    if pt is None:
+        lat_ref = lat if ctl.met_coord_type == 0 else ctl.met_utm_ref_lat
+        pt = clim_tropo(clim, time, lat_ref)
     p1 = pt * 0.866877899
     p0 = pt / 0.866877899
     w = (p - p1) / (p0 - p1)
@@ -60,9 +63,14 @@ def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
     p_grid = met01.p[0] if met01.p.ndim == 2 else met01.p
     ptop = p_grid[-1]
 
+    lat_ref = (atm.lat if ctl.met_coord_type == 0
+               else jnp.full_like(atm.lat, ctl.met_utm_ref_lat))
+    pt_clim = clim_tropo(clim, atm.time, lat_ref)
+
     def kz_at(p):
         wpbl = pbl_weight(ctl, p, pbl, ps)
-        wtrop = tropo_weight(ctl, clim, atm.time, atm.lat, p) * (1.0 - wpbl)
+        wtrop = tropo_weight(ctl, clim, atm.time, atm.lat, p,
+                             pt=pt_clim) * (1.0 - wpbl)
         wstrat = 1.0 - wpbl - wtrop
         return (wpbl * ctl.turb_dz_pbl + wtrop * ctl.turb_dz_trop
                 + wstrat * ctl.turb_dz_strat), wpbl, wtrop, wstrat
@@ -102,7 +110,8 @@ def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
     return atm.replace(lon=lon, lat=lat, p=p_new), cache
 
 
-def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm):
+def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
+                     pack=None):
     """Mesoscale wind fluctuations: AR(1) colored noise scaled to the
     local subgrid wind variance (reference c:4258-4335).
 
@@ -129,24 +138,56 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm):
     w3 = met01.fields3d["w"]
     nx, ny, npl = u3.shape[-3:]
 
-    def sig(field):
-        flat = field.reshape(2, nx * ny * npl)
-        mean = jnp.zeros(n, jnp.float32)
-        msq = jnp.zeros(n, jnp.float32)
-        for di in (0, 1):
-            for dj in (0, 1):
-                for dk in (0, 1):
-                    idx = ((ix + di) * ny + (iy + dj)) * npl + (iz + dk)
-                    for t in (0, 1):
-                        val = jnp.take(flat[t], idx)
-                        mean = mean + val
-                        msq = msq + val * val
-        var = msq / jnp.float32(16.0) - (mean / jnp.float32(16.0)) ** 2
-        return jnp.where(var > 0, jnp.sqrt(var), 0.0).astype(jnp.float32)
+    if pack is not None:
+        # One wide-row gather serves all three components and both
+        # snapshots; the sequential corner/snapshot accumulation order
+        # matches the reference's f32 summation (c:4280-4304).
+        base = (ix * ny + iy) * npl + iz
+        oy, ox = npl, ny * npl
+        corners = jnp.stack([
+            base, base + 1, base + oy, base + oy + 1,
+            base + ox, base + ox + 1, base + ox + oy,
+            base + ox + oy + 1], axis=-1)
+        rows = jnp.take(pack, corners, axis=0)       # [np, 8, 8] f32
 
-    usig = sig(u3)
-    vsig = sig(v3)
-    wsig = sig(w3)
+        def sig_from(c0, c1):
+            mean = jnp.zeros(n, jnp.float32)
+            msq = jnp.zeros(n, jnp.float32)
+            for c in range(8):
+                for comp in (c0, c1):
+                    val = rows[:, c, comp]
+                    mean = mean + val
+                    msq = msq + val * val
+            var = (msq / jnp.float32(16.0)
+                   - (mean / jnp.float32(16.0)) ** 2)
+            return jnp.where(var > 0, jnp.sqrt(var),
+                             0.0).astype(jnp.float32)
+
+        usig = sig_from(0, 3)
+        vsig = sig_from(1, 4)
+        wsig = sig_from(2, 5)
+    else:
+        def sig(field):
+            flat = field.reshape(2, nx * ny * npl)
+            mean = jnp.zeros(n, jnp.float32)
+            msq = jnp.zeros(n, jnp.float32)
+            for di in (0, 1):
+                for dj in (0, 1):
+                    for dk in (0, 1):
+                        idx = (((ix + di) * ny + (iy + dj)) * npl
+                               + (iz + dk))
+                        for t in (0, 1):
+                            val = jnp.take(flat[t], idx)
+                            mean = mean + val
+                            msq = msq + val * val
+            var = (msq / jnp.float32(16.0)
+                   - (mean / jnp.float32(16.0)) ** 2)
+            return jnp.where(var > 0, jnp.sqrt(var),
+                             0.0).astype(jnp.float32)
+
+        usig = sig(u3)
+        vsig = sig(v3)
+        wsig = sig(w3)
 
     r = 1.0 - 2.0 * jnp.abs(dt) / ctl.dt_met
     r2 = jnp.sqrt(1.0 - r * r)

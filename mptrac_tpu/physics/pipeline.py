@@ -39,8 +39,11 @@ class StepFlags(NamedTuple):
 
 
 def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
-                 t, flags: StepFlags = StepFlags()):
-    """One model timestep; mirrors the reference module order."""
+                 t, flags: StepFlags = StepFlags(), pack=None):
+    """One model timestep; mirrors the reference module order.
+
+    ``pack`` optionally supplies the precomputed packed wind table for
+    the fast advection path (ops.fast_interp.build_advect_pack)."""
 
     # Set timesteps of air parcels
     cache = m_timesteps.module_timesteps(ctl, cache, met01, atm, t)
@@ -52,7 +55,7 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
 
     # Advection
     if ctl.advect > 0:
-        atm = m_advect.module_advect(ctl, cache, met01, atm)
+        atm = m_advect.module_advect(ctl, cache, met01, atm, pack)
 
     # Turbulent diffusion
     if ctl.diffusion and (
@@ -68,7 +71,8 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
 
     # Mesoscale diffusion
     if ctl.diffusion and (ctl.turb_mesox > 0 or ctl.turb_mesoz > 0):
-        atm, cache = m_diff.module_diff_meso(ctl, cache, met01, atm)
+        atm, cache = m_diff.module_diff_meso(ctl, cache, met01, atm,
+                                             pack)
 
     # Convection
     if (ctl.conv_mix_pbl or ctl.conv_cape >= 0) and flags.do_conv:
