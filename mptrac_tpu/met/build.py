@@ -68,16 +68,29 @@ def read_met(filename: str, ctl: Ctl, clim=None) -> Met:
         # (reference c:7481 applies the chain to nc/grib only)
         return _to_met(ctl, raw, lon, lat, p, f2, f3)
 
+    # Model-level handling: compute pl and interpolate to target
+    # pressure levels (reference read_met_nc_levels, c:9740-9835)
+    target_p = None
+    if ctl.met_np > 0 or ctl.met_press_level_def >= 0:
+        if ctl.met_press_level_def >= 0:
+            target_p = process.level_definitions(ctl.met_press_level_def)
+        else:
+            target_p = np.asarray(ctl.met_p)
+    if target_p is not None and "pl" in f3 and np.any(f3["pl"]):
+        process.monotonize(ctl, raw["hybrid"], f3)
+        process.ml2pl(ctl, f3, target_p)
+        p = target_p
+    elif target_p is not None and raw.get("npl_ml", 0) == 0:
+        # pressure-level input resampled onto the target levels is a
+        # no-op unless model-level pressure is available
+        pass
+
     # Preprocessing chain in reference order (c:7480-7530)
     process.extrapolate(f3)
     process.polar_winds(lon, lat, f3, ctl.met_coord_type)
     if ctl.met_coord_type == 0:
         lon, f2, f3 = process.periodic(lon, f2, f3)
-    # (downsampling read_met_sample: not yet implemented — strides of 1
-    # are the default and a no-op)
-    if (ctl.met_dx, ctl.met_dy, ctl.met_dp) != (1, 1, 1) or \
-       (ctl.met_sx, ctl.met_sy, ctl.met_sp) != (1, 1, 1):
-        raise NotImplementedError("MET_DX/DY/DP/SX/SY/SP downsampling")
+    lon, lat, p, f2, f3 = process.sample_grid(ctl, lon, lat, p, f2, f3)
     process.geopot(ctl, lon, lat, p, f2, f3)
     process.pv(lon, lat, p, f3, ctl.met_coord_type)
     process.pbl(ctl, lon, lat, p, f2, f3)
@@ -87,8 +100,9 @@ def read_met(filename: str, ctl: Ctl, clim=None) -> Met:
         from mptrac_tpu.met.cape import compute_cape
         compute_cape(ctl, raw["time"], lon, lat, p, f2, f3)
     process.ozone_column(p, f2, f3)
-    if ctl.met_detrend > 0:
-        raise NotImplementedError("MET_DETREND")
+    process.detrend(ctl, lon, lat, p, f3)
+    if raw.get("npl_ml", 0) and ctl.advect_vert_coord == 1:
+        process.monotonize(ctl, raw["hybrid"], f3)
 
     return _to_met(ctl, raw, lon, lat, p, f2, f3)
 

@@ -512,3 +512,206 @@ def tropopause(ctl: Ctl, clim, met_time, lon, lat, p, f2, f3) -> None:
                                  coord_type=ctl.met_coord_type)
     f2["h2ot"] = interp_columns_at(f3["h2o"], lon, lat, p, f2["pt"],
                                    coord_type=ctl.met_coord_type)
+
+
+def level_definitions(press_level_def: int):
+    """Built-in output pressure-level sets for model-level data
+    (reference level_definitions, c:3342): ids 3-7 (extended
+    L137/L91/L60 etc.), returned surface-first (descending p)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "press_level_defs.npz")
+    with np.load(path) as d:
+        key = str(press_level_def)
+        if key not in d:
+            raise ValueError(
+                f"MET_PRESS_LEVEL_DEF={press_level_def} is disabled. "
+                "Use 3-7.")
+        return d[key][::-1].copy()
+
+
+def sample_grid(ctl: Ctl, lon, lat, p, f2, f3):
+    """Downsampling/smoothing by strides met_dx/dy/dp with triangular
+    boxcar met_sx/sy/sp (reference read_met_sample, c:11662)."""
+    if (ctl.met_dp <= 1 and ctl.met_dx <= 1 and ctl.met_dy <= 1
+            and ctl.met_sp <= 1 and ctl.met_sx <= 1 and ctl.met_sy <= 1):
+        return lon, lat, p, f2, f3
+    nx, ny, npl = lon.size, lat.size, p.size
+    sx, sy, sp = max(ctl.met_sx, 1), max(ctl.met_sy, 1), max(ctl.met_sp, 1)
+
+    smooth2 = ("ps", "zs", "ts", "us", "vs", "ess", "nss", "shf", "lsm",
+               "sst", "pbl", "cape", "cin")
+    smooth3 = ("t", "u", "v", "w", "h2o", "o3", "lwc", "rwc", "iwc",
+               "swc", "cc")
+
+    acc2 = {k: np.zeros((nx, ny)) for k in smooth2}
+    acc3 = {k: np.zeros((nx, ny, npl)) for k in smooth3}
+    w2 = np.zeros((nx, ny))
+    w3 = np.zeros((nx, ny, npl))
+    for ox in range(-sx + 1, sx):
+        wx = 1.0 - abs(ox) / sx
+        for oy in range(-sy + 1, sy):
+            wy = 1.0 - abs(oy) / sy
+            ysrc = np.clip(np.arange(ny) + oy, 0, ny - 1)
+            yok = (np.arange(ny) + oy >= 0) & (np.arange(ny) + oy < ny)
+            for k in smooth2:
+                rolled = np.roll(f2[k], -ox, axis=0)[:, ysrc]
+                acc2[k] += np.where(yok[None, :], wx * wy * rolled, 0.0)
+            w2 += np.where(yok[None, :], wx * wy, 0.0)
+            for op in range(-sp + 1, sp):
+                wp = 1.0 - abs(op) / sp
+                psrc = np.clip(np.arange(npl) + op, 0, npl - 1)
+                pok = ((np.arange(npl) + op >= 0)
+                       & (np.arange(npl) + op < npl))
+                m = yok[None, :, None] & pok[None, None, :]
+                for k in smooth3:
+                    rolled = np.roll(f3[k], -ox, axis=0)[:, ysrc][..., psrc]
+                    acc3[k] += np.where(m, wx * wy * wp * rolled, 0.0)
+                w3 += np.where(m, wx * wy * wp, 0.0)
+    for k in smooth2:
+        f2[k] = (acc2[k] / w2).astype(np.float32)
+    for k in smooth3:
+        f3[k] = (acc3[k] / w3).astype(np.float32)
+
+    # Downsampling by strides
+    xs = np.arange(0, nx, ctl.met_dx)
+    ys = np.arange(0, ny, ctl.met_dy)
+    ps_ = np.arange(0, npl, ctl.met_dp)
+    lon2 = lon[xs]
+    lat2 = lat[ys]
+    p2 = p[ps_]
+    for k in list(f2):
+        f2[k] = np.ascontiguousarray(f2[k][xs][:, ys])
+    for k in list(f3):
+        f3[k] = np.ascontiguousarray(f3[k][xs][:, ys][:, :, ps_])
+    return lon2, lat2, p2, f2, f3
+
+
+def detrend(ctl: Ctl, lon, lat, p, f3):
+    """Subtract a Gaussian-smoothed background from t/u/v/w
+    (reference read_met_detrend, c:9039): FWHM met_detrend [km]."""
+    if ctl.met_detrend <= 0:
+        return
+    if ctl.met_coord_type != 0:
+        raise ValueError("Only lat/lon grid supported")
+    nx, ny = lon.size, lat.size
+    sigma = ctl.met_detrend / 2.355
+    tssq = 2.0 * sigma ** 2
+    dlat_deg = abs(lat[1] - lat[0])
+    dlon_deg = abs(lon[1] - lon[0])
+    sy = int(3.0 * (sigma * 180.0 / (np.pi * RE)) / dlat_deg)
+    sy = min(max(1, sy), ny // 2)
+
+    latr = np.deg2rad(lat)
+    lonr = np.deg2rad(lon)
+    x = RE * np.cos(latr)[None, :] * np.cos(lonr)[:, None]
+    y = RE * np.cos(latr)[None, :] * np.sin(lonr)[:, None]
+    z = RE * np.broadcast_to(np.sin(latr)[None, :], (nx, ny))
+
+    bgs = {k: np.zeros_like(f3[k], np.float64)
+           for k in ("t", "u", "v", "w")}
+    wsum = np.zeros((nx, ny))
+    # per-latitude-row zonal box size varies; loop over offsets with a
+    # per-row mask (vectorized across the grid)
+    near_pole = np.abs(lat) > 89.999
+    dx2deg_row = np.where(
+        near_pole, 0.0,
+        sigma * 180.0 / (np.pi * RE
+                         * np.cos(np.deg2rad(np.where(near_pole, 0.0,
+                                                      lat)))))
+    sx_row = (3.0 * dx2deg_row / dlon_deg).astype(int)
+    sx_row = np.minimum(np.maximum(1, sx_row), nx // 2)
+    sx_max = int(sx_row.max())
+    for ox in range(-sx_max, sx_max + 1):
+        in_x = np.abs(ox) <= sx_row          # [ny]
+        xr = np.roll(x, -ox, axis=0)
+        yr = np.roll(y, -ox, axis=0)
+        zr = np.roll(z, -ox, axis=0)
+        for oy in range(-sy, sy + 1):
+            ysrc = np.arange(ny) + oy
+            yok = (ysrc >= 0) & (ysrc < ny)
+            ysafe = np.clip(ysrc, 0, ny - 1)
+            d2 = ((x - xr[:, ysafe]) ** 2 + (y - yr[:, ysafe]) ** 2
+                  + (z - zr[:, ysafe]) ** 2)
+            w = np.exp(-d2 / tssq).astype(np.float32)
+            w = np.where(yok[None, :] & in_x[None, :], w, 0.0)
+            wsum += w
+            for k in bgs:
+                bgs[k] += w[..., None] * np.roll(
+                    f3[k], -ox, axis=0)[:, ysafe]
+    for k in bgs:
+        f3[k] = (f3[k] - bgs[k] / wsum[..., None]).astype(np.float32)
+
+
+def monotonize(ctl: Ctl, hybrid, f3):
+    """Enforce monotonic zeta/pressure profiles on model levels for
+    diabatic advection (reference read_met_monotonize, c:10949)."""
+    if ctl.advect_vert_coord != 1:
+        return
+    for name, increasing in (("zetal", True), ("pl", False)):
+        if name not in f3:
+            continue
+        prof = f3[name].astype(np.float64)
+        npl = prof.shape[-1]
+        sgn = 1.0 if increasing else -1.0
+        v = sgn * prof
+        # running maximum marks inversions; linear re-interpolation in
+        # the hybrid coordinate between inversion bottom and top
+        out = v.copy()
+        for k in range(1, npl):
+            out[..., k] = np.maximum(out[..., k], out[..., k - 1])
+        # Where the running max changed the value, interpolate between
+        # bracketing unchanged levels in hybrid space (iterative
+        # forward fill reproduces the reference's linear bridge)
+        changed = out > v + 0.0
+        # find for each level the previous unchanged level value and
+        # next unchanged level; vectorized scan:
+        idx = np.arange(npl)
+        last_ok = np.where(~changed, idx[None, None, :], -1)
+        np.maximum.accumulate(last_ok, axis=-1, out=last_ok)
+        next_ok = np.where(~changed, idx[None, None, :], npl)
+        next_ok = np.flip(
+            np.minimum.accumulate(np.flip(next_ok, -1), -1), -1)
+        next_ok = np.clip(next_ok, 0, npl - 1)
+        last_ok = np.clip(last_ok, 0, npl - 1)
+        v0 = np.take_along_axis(v, last_ok, -1)
+        v1 = np.take_along_axis(v, next_ok, -1)
+        h = np.asarray(hybrid)
+        h0 = h[last_ok]
+        h1 = h[next_ok]
+        denom = np.where(h1 != h0, h1 - h0, 1.0)
+        interp_v = v0 + (v1 - v0) / denom * (h[None, None, :] - h0)
+        out = np.where(changed, interp_v, v)
+        f3[name] = (sgn * out).astype(np.float32)
+
+
+def ml2pl(ctl: Ctl, f3, target_p):
+    """Model-level -> pressure-level vertical interpolation using the
+    3-D pressure field pl (reference read_met_ml2pl, c:10907)."""
+    pl = f3["pl"].astype(np.float64)          # [nx, ny, nml]
+    nml = pl.shape[-1]
+    npl_out = target_p.size
+    desc = pl[..., :1] > pl[..., 1:2]
+    for name in ("t", "u", "v", "w", "h2o", "o3", "lwc", "rwc", "iwc",
+                 "swc", "cc"):
+        if name not in f3:
+            continue
+        var = f3[name].astype(np.float64)
+        out = np.empty(var.shape[:-1] + (npl_out,))
+        for ip, pt in enumerate(target_p):
+            ptc = np.clip(pt,
+                          np.minimum(pl[..., 0], pl[..., -1]),
+                          np.maximum(pl[..., 0], pl[..., -1]))
+            # locate_irr per column (descending or ascending profiles)
+            # via a per-column comparison count
+            key = np.where(desc, -pl, pl)
+            kq = np.where(desc[..., 0], -ptc, ptc)
+            idx = np.sum(key <= kq[..., None], axis=-1) - 1
+            idx = np.clip(idx, 0, nml - 2)
+            p0 = np.take_along_axis(pl, idx[..., None], -1)[..., 0]
+            p1 = np.take_along_axis(pl, idx[..., None] + 1, -1)[..., 0]
+            v0 = np.take_along_axis(var, idx[..., None], -1)[..., 0]
+            v1 = np.take_along_axis(var, idx[..., None] + 1, -1)[..., 0]
+            denom = np.where(p1 != p0, p1 - p0, 1.0)
+            out[..., ip] = v0 + (v1 - v0) / denom * (ptc - p0)
+        f3[name] = out.astype(np.float32)

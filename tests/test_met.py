@@ -87,3 +87,56 @@ def test_cape_computation(era5_utm_fixture):
     assert np.nanmin(cape) >= 0
     # LCL below 500 hPa level (i.e. pressure > 500)
     assert np.nanmin(plcl) > 400
+
+
+def test_downsampling(utm_ctl, era5_utm_fixture):
+    ctl = utm_ctl.replace(met_dx=2, met_dy=2, met_dp=2, met_sx=2,
+                          met_sy=2, met_sp=1)
+    met = read_met(str(era5_utm_fixture), ctl)
+    assert (met.nx, met.ny, met.npl) == (9, 15, 19)
+    # smoothed fields stay physical
+    t = np.asarray(met.fields3d["t"])
+    assert 180 < np.nanmin(t) < np.nanmax(t) < 330
+
+
+def test_detrend(era5_utm_fixture):
+    ctl = read_ctl(None, [
+        "NQ", "0", "MET_COORD_TYPE", "0", "MET_CAPE", "0",
+        "MET_TROPO", "0", "MET_PBL", "3", "METBASE", "x",
+        "MET_DETREND", "500"])
+    from mptrac_tpu.met.synthetic import make_wind_met
+    from mptrac_tpu.met import process
+    met = make_wind_met(nx=72, ny=37, nz=8)
+    lon = np.asarray(met.lon)
+    lat = np.asarray(met.lat)
+    p = np.asarray(met.p)
+    f3 = {k: np.asarray(v).copy() for k, v in met.fields3d.items()}
+    u_before = f3["u"].copy()
+    process.detrend(ctl, lon, lat, p, f3)
+    # solid-body u is smooth at 500 km scale: detrending removes most
+    assert np.abs(f3["u"]).max() < 0.2 * np.abs(u_before).max()
+
+
+def test_level_definitions():
+    from mptrac_tpu.met.process import level_definitions
+    p147 = level_definitions(3)
+    assert p147.size == 147
+    assert p147[0] > p147[-1]          # descending (surface first)
+    assert p147[0] == 1044.45
+    with pytest.raises(ValueError):
+        level_definitions(0)
+
+
+def test_monotonize():
+    from mptrac_tpu.met.process import monotonize
+    ctl = read_ctl(None, ["NQ", "0", "METBASE", "x",
+                          "ADVECT_VERT_COORD", "1", "T_STOP", "1"])
+    hybrid = np.arange(6, dtype=float)
+    zet = np.array([300.0, 320.0, 310.0, 315.0, 340.0, 360.0])
+    f3 = {"zetal": np.broadcast_to(zet, (2, 2, 6)).copy().astype(
+        np.float32)}
+    monotonize(ctl, hybrid, f3)
+    out = f3["zetal"][0, 0]
+    assert (np.diff(out) > 0).all()
+    # untouched outside the inversion
+    assert out[0] == 300.0 and out[1] == 320.0 and out[-1] == 360.0

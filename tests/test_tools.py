@@ -13,7 +13,9 @@ import pytest
 TOOLS = ["trac", "atm_init", "atm_split", "atm_conv", "atm_select",
          "atm_stat", "atm_dist", "atm2grid", "wind", "met_map",
          "met_prof", "met_zm", "met_sample", "met_conv", "time2jsec",
-         "jsec2time", "day2doy", "doy2day", "tnat", "sedi", "cape"]
+         "jsec2time", "day2doy", "doy2day", "tnat", "sedi", "cape",
+         "tropo", "tropo_sample", "tropo_zm", "tropo_clim", "met_lapse",
+         "met_subgrid", "met_check_dt", "met_spec"]
 
 
 @pytest.mark.parametrize("tool", TOOLS)
