@@ -23,12 +23,99 @@ from mptrac_tpu.types import Atm
 def read_atm(filename: str, ctl: Ctl, npmax: Optional[int] = None,
              dtype=jnp.float64) -> Atm:
     """Read an atm file, dispatching on ATM_TYPE (reference
-    mptrac_read_atm, c:6331)."""
+    mptrac_read_atm, c:6331): 0 ASCII, 1 binary, 2 netCDF,
+    3/4 CLaMS."""
     if ctl.atm_type == 0:
         return read_atm_asc(filename, ctl, npmax, dtype)
     if ctl.atm_type == 1:
         return read_atm_bin(filename, ctl, npmax, dtype)
+    if ctl.atm_type == 2:
+        return read_atm_nc(filename, ctl, npmax, dtype)
+    if ctl.atm_type in (3, 4):
+        return read_atm_clams(filename, ctl, npmax, dtype)
     raise NotImplementedError(f"ATM_TYPE {ctl.atm_type}")
+
+
+def _pad_arrays(npmax, n, dtype, cols):
+    import numpy as _np
+
+    def pad(col):
+        out = _np.zeros(npmax)
+        out[:n] = col
+        return jnp.asarray(out, dtype)
+    return [pad(c) for c in cols]
+
+
+def read_atm_nc(filename: str, ctl: Ctl, npmax=None,
+                dtype=jnp.float64) -> Atm:
+    """netCDF particle file with an ``obs`` dimension (reference
+    read_atm_nc, c:8217)."""
+    from mptrac_tpu.io.hdf5 import open_netcdf_any
+    v, nc = open_netcdf_any(filename)
+    try:
+        time = np.array(v["time"][:], np.float64)
+        p = np.array(v["press"][:], np.float64)
+        lon = np.array(v["lon"][:], np.float64)
+        lat = np.array(v["lat"][:], np.float64)
+        n = time.size
+        npmax = npmax or n
+        cols = _pad_arrays(npmax, n, dtype, [time, p, lon, lat])
+        q = {}
+        for name in ctl.qnt_name:
+            if name in v:
+                q[name] = _pad_arrays(
+                    npmax, n, dtype,
+                    [np.array(v[name][:], np.float64)])[0]
+            else:
+                q[name] = jnp.zeros(npmax, dtype)
+        return Atm(time=cols[0], p=cols[1], lon=cols[2], lat=cols[3],
+                   q=q, np=jnp.asarray(n, jnp.int32))
+    finally:
+        if hasattr(nc, "close"):
+            nc.close()
+
+
+def read_atm_clams(filename: str, ctl: Ctl, npmax=None,
+                   dtype=jnp.float64) -> Atm:
+    """CLaMS particle file with an ``NPARTS`` dimension (reference
+    read_atm_clams, c:8154)."""
+    from mptrac_tpu.io.hdf5 import open_netcdf_any
+    v, nc = open_netcdf_any(filename)
+    try:
+        lon = np.array(v["LON"][:], np.float64).ravel()
+        lat = np.array(v["LAT"][:], np.float64).ravel()
+        n = lon.size
+        if "TIME_INIT" in v:
+            time = np.array(v["TIME_INIT"][:], np.float64).ravel()
+        else:
+            time = np.full(n, float(np.array(v["time"][:]).ravel()[0]))
+        q = {}
+        if ctl.advect_vert_coord == 1:
+            zeta = np.array(v["ZETA"][:], np.float64).ravel()
+            p = (np.array(v["PRESS"][:], np.float64).ravel()
+                 if "PRESS" in v else np.full(n, 500.0))
+            if "zeta" in ctl.qnt_name:
+                q["zeta"] = zeta
+        else:
+            key = "PRESS_INIT" if "PRESS_INIT" in v else "PRESS"
+            p = np.array(v[key][:], np.float64).ravel()
+        npmax = npmax or n
+        cols = _pad_arrays(npmax, n, dtype, [time, p, lon, lat])
+        qq = {}
+        for name in ctl.qnt_name:
+            if name in q:
+                qq[name] = _pad_arrays(npmax, n, dtype, [q[name]])[0]
+            elif name in v:
+                qq[name] = _pad_arrays(
+                    npmax, n, dtype,
+                    [np.array(v[name][:], np.float64).ravel()])[0]
+            else:
+                qq[name] = jnp.zeros(npmax, dtype)
+        return Atm(time=cols[0], p=cols[1], lon=cols[2], lat=cols[3],
+                   q=qq, np=jnp.asarray(n, jnp.int32))
+    finally:
+        if hasattr(nc, "close"):
+            nc.close()
 
 
 def read_atm_asc(filename: str, ctl: Ctl, npmax=None,
@@ -106,13 +193,73 @@ def _fmt_g(x: float) -> str:
 
 
 def write_atm(filename: str, ctl: Ctl, atm: Atm, t: float) -> None:
-    """Dispatch on ATM_TYPE_OUT (reference mptrac_write_atm, c:7806)."""
+    """Dispatch on ATM_TYPE_OUT (reference mptrac_write_atm, c:7806):
+    0 ASCII, 1 binary, 2 netCDF, 3 CLaMS trajectory, 4 CLaMS pos."""
     if ctl.atm_type_out == 0:
         write_atm_asc(filename, ctl, atm, t)
     elif ctl.atm_type_out == 1:
         write_atm_bin(filename, ctl, atm)
+    elif ctl.atm_type_out == 2:
+        write_atm_nc(filename, ctl, atm)
+    elif ctl.atm_type_out in (3, 4):
+        write_atm_clams(filename, ctl, atm)
     else:
         raise NotImplementedError(f"ATM_TYPE_OUT {ctl.atm_type_out}")
+
+
+def write_atm_nc(filename: str, ctl: Ctl, atm: Atm) -> None:
+    """netCDF particle file (reference write_atm_nc, c:12815)."""
+    from scipy.io import netcdf_file
+    n = int(atm.np)
+    nc = netcdf_file(filename, "w")
+    try:
+        nc.createDimension("obs", n)
+        for name, data, unit in (
+                ("time", np.asarray(atm.time)[:n],
+                 b"seconds since 2000-01-01 00:00:00 UTC"),
+                ("press", np.asarray(atm.p)[:n], b"hPa"),
+                ("lon", np.asarray(atm.lon)[:n], b"degrees_east"),
+                ("lat", np.asarray(atm.lat)[:n], b"degrees_north")):
+            v = nc.createVariable(name, "d", ("obs",))
+            v[:] = data
+            v.units = unit
+        for iq, name in enumerate(ctl.qnt_name):
+            v = nc.createVariable(name, "d", ("obs",))
+            v[:] = np.asarray(atm.q[name])[:n]
+            v.units = ctl.qnt_unit[iq].encode()
+        nc.featureType = b"point"
+    finally:
+        nc.close()
+
+
+def write_atm_clams(filename: str, ctl: Ctl, atm: Atm) -> None:
+    """CLaMS position file (reference write_atm_clams, c:12598)."""
+    from scipy.io import netcdf_file
+    n = int(atm.np)
+    nc = netcdf_file(filename, "w")
+    try:
+        nc.createDimension("time", 1)
+        nc.createDimension("NPARTS", n)
+        v = nc.createVariable("time", "d", ("time",))
+        v[:] = [float(np.asarray(atm.time)[0]) if n else 0.0]
+        for name, data in (("LAT", np.asarray(atm.lat)[:n]),
+                           ("LON", np.asarray(atm.lon)[:n]),
+                           ("PRESS", np.asarray(atm.p)[:n])):
+            vv = nc.createVariable(name, "d", ("NPARTS",))
+            vv[:] = data
+        zeta = (np.asarray(atm.q["zeta"])[:n] if "zeta" in atm.q
+                else np.zeros(n))
+        vz = nc.createVariable("ZETA", "d", ("NPARTS",))
+        vz[:] = zeta
+        for name in ctl.qnt_name:
+            if name == "zeta":
+                continue
+            vv = nc.createVariable(name, "d", ("NPARTS",))
+            vv[:] = np.asarray(atm.q[name])[:n]
+        nc.exp_VERTCOOR_name = b"zeta"
+        nc.model = b"MPTRAC"
+    finally:
+        nc.close()
 
 
 def write_atm_asc(filename: str, ctl: Ctl, atm: Atm, t: float) -> None:

@@ -44,6 +44,37 @@ class MetBuffer:
         self.met1: Optional[Met] = None
         self._files = (None, None)
         self.pair: Optional[Met] = None
+        # Native decode-ahead for binary containers (reference analog:
+        # the `cat > /dev/null &` page-cache prefetch, c:6222)
+        self._loader = None
+        self._prefetched: Optional[str] = None
+        if ctl.met_type in (1, 2) and not ctl.met_pck_zstd:
+            try:
+                from mptrac_tpu.native_loader import AsyncMetLoader
+                self._loader = AsyncMetLoader()
+            except Exception:
+                self._loader = None
+
+    def _read(self, filename: str) -> Met:
+        from mptrac_tpu.met.build import read_met, _to_met
+        if self._loader is not None and self._prefetched == filename:
+            raw = self._loader.wait()
+            raw["coord_type"] = self.ctl.met_coord_type
+            self._prefetched = None
+            met = _to_met(self.ctl, raw, raw["lon"], raw["lat"],
+                          raw["p"], raw["fields2d"], raw["fields3d"])
+        else:
+            met = read_met(filename, self.ctl, self.clim)
+        # queue the following interval's file for background decode
+        if self._loader is not None:
+            nxt = get_met_filename(
+                self.ctl, float(met.time)
+                + self.ctl.direction * self.ctl.dt_met,
+                self.ctl.direction)
+            if os.path.exists(nxt) and nxt != self._prefetched:
+                self._loader.prefetch(nxt, self.ctl.met_type)
+                self._prefetched = nxt
+        return met
 
     def get(self, t: float) -> Met:
         ctl = self.ctl
@@ -54,21 +85,19 @@ class MetBuffer:
                 ctl, t + (-1 if ctl.direction == -1 else 0), -1)
             f1 = get_met_filename(
                 ctl, t + (1 if ctl.direction == 1 else 0), 1)
-            self.met0 = read_met(f0, ctl, self.clim)
+            self.met0 = self._read(f0)
             self.met1 = (self.met0 if f1 == f0
-                         else read_met(f1, ctl, self.clim))
+                         else self._read(f1))
             changed = True
         # Forward: advance when t passes met1 (c:6236-6248)
         if t > float(self.met1.time):
             self.met0 = self.met1
-            self.met1 = read_met(get_met_filename(ctl, t, 1), ctl,
-                                 self.clim)
+            self.met1 = self._read(get_met_filename(ctl, t, 1))
             changed = True
         # Backward: advance when t passes met0 (c:6264-6276)
         if t < float(self.met0.time):
             self.met1 = self.met0
-            self.met0 = read_met(get_met_filename(ctl, t, -1), ctl,
-                                 self.clim)
+            self.met0 = self._read(get_met_filename(ctl, t, -1))
             changed = True
         if changed:
             self._check_grids()

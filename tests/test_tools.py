@@ -140,3 +140,54 @@ def test_atm_stat(tmp_path):
     assert rows[2] == pytest.approx(11.0)     # mean z
     assert rows[3] == pytest.approx(-71.0)    # mean lon
     assert int(rows[-1]) == 2
+
+
+def test_atm_nc_clams_roundtrip(tmp_path):
+    """ASCII -> netCDF -> CLaMS -> ASCII round trip (interoper_test
+    analog)."""
+    from mptrac_tpu.tools import atm_conv
+    from mptrac_tpu.tools._cli import run_tool
+    ctl = tmp_path / "c.ctl"
+    ctl.write_text("NQ = 1\nQNT_NAME[0] = m\nMETBASE = -\nT_STOP = 1\n")
+    asc = tmp_path / "a.tab"
+    asc.write_text("0.0 10.0 -72.0 -40.0 5.0\n0.0 12.0 -70.0 -42.0 7.0\n")
+    ncf = tmp_path / "a.nc"
+    clams = tmp_path / "a_clams.nc"
+    asc2 = tmp_path / "a2.tab"
+    run_tool(atm_conv.main, ["atm_conv", str(ctl), str(asc), "0",
+                             str(ncf), "2"])
+    run_tool(atm_conv.main, ["atm_conv", str(ctl), str(ncf), "2",
+                             str(clams), "4"])
+    run_tool(atm_conv.main, ["atm_conv", str(ctl), str(clams), "4",
+                             str(asc2), "0"])
+    a = np.loadtxt(asc)
+    b = np.loadtxt(asc2)
+    np.testing.assert_allclose(b, a, rtol=1e-12)
+
+
+def test_native_metloader(tmp_path):
+    """Native C++ async loader decodes the binary container
+    identically to the Python reader."""
+    pytest.importorskip("ctypes")
+    from mptrac_tpu.native_loader import AsyncMetLoader, get_library
+    if get_library() is None:
+        pytest.skip("native library not built")
+    from mptrac_tpu import read_ctl
+    from mptrac_tpu.met.synthetic import make_wind_met
+    from mptrac_tpu.met.bin_io import read_met_bin, write_met_bin
+    met = make_wind_met(nx=36, ny=19, nz=8)
+    for met_type in (1, 2):
+        binf = tmp_path / f"m{met_type}.bin"
+        write_met_bin(str(binf), met, met_type=met_type)
+        loader = AsyncMetLoader()
+        loader.prefetch(str(binf), met_type)
+        raw = loader.wait()
+        loader.close()
+        ctl = read_ctl(None, ["NQ", "0", "METBASE", "-",
+                              "MET_TYPE", str(met_type), "T_STOP", "1"])
+        ref = read_met_bin(str(binf), ctl)
+        np.testing.assert_array_equal(raw["lon"], ref["lon"])
+        np.testing.assert_array_equal(raw["fields3d"]["u"],
+                                      ref["fields3d"]["u"])
+        np.testing.assert_array_equal(raw["fields2d"]["ps"],
+                                      ref["fields2d"]["ps"])
