@@ -42,8 +42,7 @@ def read_clim(ctl: Ctl) -> Clim:
     photo = {}
     photo_p = photo_sza = photo_o3c = jnp.zeros(1)
 
-    need_phot = ctl.tracer_chem or (ctl.oh_chem_beta > 0)
-    if ctl.tracer_chem:
+    if ctl.tracer_chem or ctl.kpp_chem:
         ph = read_clim_photo(ctl.clim_photo)
         if ph is not None:
             photo_p, photo_sza, photo_o3c, photo = ph

@@ -27,7 +27,8 @@ def make_wind_met(t0: float = 0.0, nx: int = 360, ny: int = 181,
                   w0: float = 0.0, alpha: float = 0.0,
                   temp0: float = 280.0, temp1: float = 280.0,
                   ps: float = 1013.25, zs: float = 0.0,
-                  blh: float = 1.0, dtype=jnp.float32) -> Met:
+                  blh: float = 1.0, q: float = 0.0, o3: float = 0.0,
+                  dtype=jnp.float32) -> Met:
     """Build one synthetic met snapshot (wind.c:117-170).
 
     ``u0`` defaults to one revolution in ~12 days; ``alpha`` tilts the
@@ -66,6 +67,13 @@ def make_wind_met(t0: float = 0.0, nx: int = 360, ny: int = 181,
     f3["v"] = jnp.asarray(v, dtype)
     f3["w"] = jnp.asarray(w, dtype)
     f3["t"] = jnp.asarray(t, dtype)
+    # WIND_Q / WIND_O3: uniform vmr (wind.c:166-167; input scalings
+    # q*MA/MH2O and o3*MA/MO3 are applied by the reader, so the Met
+    # holds the plain vmr here)
+    if q:
+        f3["h2o"] = jnp.full((nx, ny, nz), q, dtype)
+    if o3:
+        f3["o3"] = jnp.full((nx, ny, nz), o3, dtype)
     zgrid = np.broadcast_to(z, (nx, ny, nz)).copy()
     f3["z"] = jnp.asarray(zgrid, dtype)
 

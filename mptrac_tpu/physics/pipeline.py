@@ -147,6 +147,11 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
         from mptrac_tpu.physics.decay import module_radio_decay
         atm = module_radio_decay(ctl, cache, atm)
 
+    # KPP full chemistry
+    if ctl.kpp_chem and flags.do_kpp:
+        from mptrac_tpu.physics.kpp import module_kpp_chem
+        atm = module_kpp_chem(ctl, cache, clim, met01, atm)
+
     # Wet deposition
     if ((ctl.wet_depo_ic_a > 0 or ctl.wet_depo_ic_h[0] > 0)
             and (ctl.wet_depo_bc_a > 0 or ctl.wet_depo_bc_h[0] > 0)):
