@@ -76,5 +76,7 @@ def test_module_kpp_chem_runs():
     assert (cx <= 1e-9 + 1e-15).all()      # SO2 can only be lost
     m = np.asarray(out.q["m"])
     assert (m <= 1.0).all() and np.isfinite(m).all()
-    # HOx partitioning changed (chemistry actually ran)
-    assert not np.allclose(np.asarray(out.q["Coh"]), 1e-13)
+    # HOx partitioning changed (chemistry actually ran); atol=0 so the
+    # comparison is relative at these 1e-13 magnitudes
+    assert not np.allclose(np.asarray(out.q["Coh"]), 1e-13,
+                           rtol=0.05, atol=0.0)
