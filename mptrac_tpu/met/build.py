@@ -51,6 +51,9 @@ def read_met(filename: str, ctl: Ctl, clim=None) -> Met:
     elif ctl.met_type in (1, 2, 4):
         from mptrac_tpu.met.bin_io import read_met_bin
         raw = read_met_bin(filename, ctl)
+    elif ctl.met_type == 6:
+        from mptrac_tpu.met.read_grib import read_met_grib
+        raw = read_met_grib(filename, ctl)
     else:
         raise NotImplementedError(
             f"MET_TYPE {ctl.met_type} not implemented yet")

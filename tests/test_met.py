@@ -140,3 +140,41 @@ def test_monotonize():
     assert (np.diff(out) > 0).all()
     # untouched outside the inversion
     assert out[0] == 300.0 and out[1] == 320.0 and out[-1] == 360.0
+
+
+def test_grib1_reader(reference_dir):
+    """Pure-Python GRIB1 decode of the reference grib fixture
+    (grib_test analog: surface fields decode with physical values)."""
+    grib = reference_dir / "tests" / "grib_test" / "gribdata" / \
+        "gb_2011060600_small_sf.grb"
+    if not grib.exists():
+        pytest.skip("grib fixture missing")
+    from mptrac_tpu.io.grib1 import decode_file
+    recs = decode_file(str(grib))
+    assert len(recs) == 33
+    by_param = {r.param: r for r in recs}
+    # surface pressure 750-1020 hPa over the Alps domain
+    sp = by_param[134].values
+    assert 70000 < np.nanmin(sp) < np.nanmax(sp) < 103000
+    # 2m temperature physical
+    t2m = by_param[167].values
+    assert 250 < np.nanmin(t2m) < np.nanmax(t2m) < 320
+    # land-sea mask within [0, 1]
+    lsm = by_param[172].values
+    assert np.nanmin(lsm) >= 0 and np.nanmax(lsm) <= 1
+    assert by_param[134].year == 2011 and by_param[134].mon == 6
+
+
+def test_read_met_grib(reference_dir):
+    from mptrac_tpu.met.read_grib import read_met_grib
+    base = str(reference_dir / "tests" / "grib_test" / "gribdata"
+               / "gb_2011060600_small_XX.grb")
+    # only the sf file exists; ml falls back to the same list
+    import os
+    ctl = read_ctl(None, ["NQ", "0", "METBASE", "-", "MET_TYPE", "6",
+                          "T_STOP", "1"])
+    try:
+        raw = read_met_grib(base, ctl)
+    except FileNotFoundError:
+        pytest.skip("ml grib file not available")
+    assert raw["fields2d"]["ps"].max() < 1100
