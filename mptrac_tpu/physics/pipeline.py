@@ -46,7 +46,8 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
     the fast advection path (ops.fast_interp.build_advect_pack)."""
 
     # Set timesteps of air parcels
-    cache = m_timesteps.module_timesteps(ctl, cache, met01, atm, t)
+    with jax.named_scope("module_timesteps"):
+        cache = m_timesteps.module_timesteps(ctl, cache, met01, atm, t)
 
     # (module_sort is a performance transform — handled by the driver)
 
@@ -55,7 +56,8 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
 
     # Advection
     if ctl.advect > 0:
-        atm = m_advect.module_advect(ctl, cache, met01, atm, pack)
+        with jax.named_scope("module_advect"):
+            atm = m_advect.module_advect(ctl, cache, met01, atm, pack)
 
     # Turbulent diffusion
     if ctl.diffusion and (
