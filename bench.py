@@ -40,12 +40,23 @@ def main():
     ap.add_argument("--exact", action="store_true",
                     help="reference-parity f64 interpolation instead of "
                          "the packed f32 fast path")
+    ap.add_argument("--dd", type=int, default=0, metavar="N",
+                    help="measure domain-decomposition scaling over N "
+                         "devices (virtual CPU devices if fewer real "
+                         "ones); prints dd_scaling_efficiency")
     args = ap.parse_args()
 
+    if args.dd and args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.dd}")
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    if args.dd:
+        return bench_dd(args)
 
     import __graft_entry__ as g
     from mptrac_tpu.physics import pipeline
@@ -82,6 +93,82 @@ def main():
         "value": rate / n_dev,
         "unit": "parcel-steps/s",
         "vs_baseline": rate / n_dev / BASELINE_PARCEL_STEPS_S,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def bench_dd(args):
+    """Scaling: rate of the domain-decomposed N-device step vs N x the
+    plain single-device rate (the north-star >=80% efficiency metric).
+
+    The reference's analog is the dd_test MPI scaling runs
+    (/root/reference/projects/dd/); here the parcel migration rides
+    jax.lax.all_to_all instead of MPI_Alltoallv."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as g
+    from mptrac_tpu.parallel import dd as ddm
+    from mptrac_tpu.parallel import mesh as pmesh
+    from mptrac_tpu.physics import pipeline
+
+    ndev = args.dd
+    n = args.n_parcels - args.n_parcels % ndev
+    ctl, clim, met01, atm, cache = g._make_setup(
+        n, nx=args.nx, ny=args.ny, nz=args.nz)
+    ctl = ctl.replace(diffusion=0, tdec_trop=0.0, tdec_strat=0.0)
+
+    # --- single-device reference rate (same physics, no dd)
+    dev0 = jax.devices()[0]
+    atm0 = jax.device_put(atm, dev0)
+    cache0 = jax.device_put(cache, dev0)
+    met0d = jax.device_put(met01, dev0)
+    step1 = jax.jit(
+        lambda m, a, c, t: pipeline.run_timestep(ctl, clim, m, a, c, t))
+    t = jnp.asarray(180.0, jnp.float64)
+    a, c = step1(met0d, atm0, cache0, t)
+    jax.block_until_ready(a.lon)
+    t0 = time.time()
+    for i in range(args.steps):
+        a, c = step1(met0d, a, c, jnp.asarray((i + 2) * 180.0))
+    jax.block_until_ready(a.lon)
+    rate1 = n * args.steps / (time.time() - t0)
+
+    # --- N-device domain-decomposed rate
+    n_merid = 2 if ndev % 2 == 0 else 1
+    ctl_dd = ctl.replace(dd=1, dd_subdomains_zonal=ndev // n_merid,
+                         dd_subdomains_meridional=n_merid,
+                         dd_halos_size=4)
+    dd = ddm.plan_decomposition(
+        ctl_dd, jax.tree.map(lambda x: x[0], met01), ndev=ndev)
+    mesh_dd = pmesh.make_mesh(ndev, axis="sub")
+    tiles = ddm.make_tiles(dd, met01)
+    lat_axis = np.asarray(met01.lat[0])
+    npmax_dev = max(256, 2 * n // ndev)
+    atm_d, cache_d = ddm.scatter_parcels(dd, atm, npmax_dev, lat_axis)
+    dstep = ddm.make_dd_step(ctl_dd, clim, dd, mesh_dd, npmax_dev,
+                             exch_cap=max(64, npmax_dev // 8),
+                             lat_axis=lat_axis)
+    atm_d, cache_d, _, _ = dstep(tiles, atm_d, cache_d, t)
+    jax.block_until_ready(atm_d.lon)
+    t0 = time.time()
+    for i in range(args.steps):
+        atm_d, cache_d, _, _ = dstep(tiles, atm_d, cache_d,
+                                     jnp.asarray((i + 2) * 180.0))
+    jax.block_until_ready(atm_d.lon)
+    rate_n = n * args.steps / (time.time() - t0)
+
+    result = {
+        "metric": "dd_scaling_efficiency",
+        "value": rate_n / (ndev * rate1),
+        "unit": f"rate({ndev} dev) / ({ndev} x rate(1 dev))",
+        "vs_baseline": rate_n / (ndev * rate1) / 0.8,
+        "rate_1dev": rate1,
+        "rate_ndev": rate_n,
     }
     print(json.dumps(result))
     return 0
