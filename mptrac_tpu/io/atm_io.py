@@ -262,9 +262,45 @@ def write_atm_clams(filename: str, ctl: Ctl, atm: Atm) -> None:
         nc.close()
 
 
+def _gnuplot_pipe(gpfile: str, filename: str, t: float):
+    """Open a pipe into gnuplot with the reference's prelude: output
+    PNG name + timestr variable + the user's plot script
+    (write_atm_asc gnuplot branch, c:12462-12486)."""
+    import subprocess
+
+    from mptrac_tpu.timeutil import jsec2time
+
+    try:
+        proc = subprocess.Popen(["gnuplot"], stdin=subprocess.PIPE,
+                                text=True)
+    except FileNotFoundError:
+        raise RuntimeError("Cannot create pipe to gnuplot!")
+    year, mon, day, hour, minute, _, _ = jsec2time(t)
+    proc.stdin.write(f'set out "{filename}.png"\n')
+    proc.stdin.write(f'timestr="{year}-{mon:02d}-{day:02d}, '
+                     f'{hour:02d}:{minute:02d} UTC"\n')
+    with open(gpfile) as f:
+        proc.stdin.write(f.read())
+    return proc
+
+
+class _PipeCtx:
+    def __init__(self, proc):
+        self.proc = proc
+
+    def __enter__(self):
+        return self.proc.stdin
+
+    def __exit__(self, *exc):
+        self.proc.stdin.close()
+        self.proc.wait()
+        return False
+
+
 def write_atm_asc(filename: str, ctl: Ctl, atm: Atm, t: float) -> None:
     """ASCII particle table (reference write_atm_asc, c:12450),
-    byte-compatible with the reference format."""
+    byte-compatible with the reference format.  With ATM_GPFILE set,
+    the table is piped into gnuplot instead (c:12462)."""
     n = int(atm.np)
     time = np.asarray(atm.time)[:n]
     p = np.asarray(atm.p)[:n]
@@ -276,7 +312,11 @@ def write_atm_asc(filename: str, ctl: Ctl, atm: Atm, t: float) -> None:
     t0 = t - 0.5 * ctl.dt_mod
     t1 = t + 0.5 * ctl.dt_mod
 
-    with open(filename, "w") as out:
+    if ctl.atm_gpfile != "-":
+        sink = _PipeCtx(_gnuplot_pipe(ctl.atm_gpfile, filename, t))
+    else:
+        sink = open(filename, "w")
+    with sink as out:
         if ctl.met_coord_type == 0:
             out.write("# $1 = time [s]\n# $2 = altitude [km]\n"
                       "# $3 = longitude [deg]\n# $4 = latitude [deg]\n")

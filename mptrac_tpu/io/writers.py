@@ -137,7 +137,12 @@ class GridWriter:
                     MA / ctl.molmass * cd / (_rho(pressc[iz3], temp)
                                              * dz * 1e3), 0.0)
 
-        with open(filename, "w") as out:
+        if ctl.grid_gpfile != "-":
+            from mptrac_tpu.io.atm_io import _gnuplot_pipe, _PipeCtx
+            sink = _PipeCtx(_gnuplot_pipe(ctl.grid_gpfile, filename, t))
+        else:
+            sink = open(filename, "w")
+        with sink as out:
             out.write(
                 "# $1 = time [s]\n# $2 = altitude [km]\n"
                 "# $3 = longitude [deg]\n# $4 = latitude [deg]\n"

@@ -6,8 +6,12 @@ write_met_bin (c:13670-13922), compress_pck (c:986-1261, per-level
 compress_zstd (c:1624-1740).
 
 Supported met_type codecs: 1 = raw float, 2 = PCK (+MET_PCK_ZSTD outer
-zstd), 4 = ZSTD of the raw float stream.  Layout of 3-D payloads is
-[ixy, iz] (level-fastest), matching the reference's ARRAY layout.
+zstd), 4 = ZSTD of the raw float stream, 8 = LZ4 raw blocks
+(compress_lz4 c:1740, native codec in native/lz4codec.cc).  Types 3
+(ZFP), 5 (cmultiscale) and 7 (SZ3) error out like a reference build
+compiled without those optional codecs (c:7881-7904).  Layout of 3-D
+payloads is [ixy, iz] (level-fastest), matching the reference's ARRAY
+layout.
 """
 
 from __future__ import annotations
@@ -21,6 +25,16 @@ import numpy as np
 from mptrac_tpu.types import MET_2D_FIELDS, MET_3D_FIELDS, Met
 
 PCK_ZSTD_MAGIC = 0x50434B5A53544431
+
+#: optional codecs absent from this build (reference c:7881-7904)
+_UNSUPPORTED = {3: "ZFP", 5: "cmultiscale", 7: "SZ3"}
+
+
+def _check_codec(met_type: int) -> None:
+    if met_type in _UNSUPPORTED:
+        raise NotImplementedError(
+            f"MPTRAC was built without {_UNSUPPORTED[met_type]} "
+            "compression!")
 
 #: 2-D field write order (reference c:8666-8689)
 BIN_2D = ("ps", "ts", "zs", "us", "vs", "ess", "nss", "shf", "lsm",
@@ -75,6 +89,7 @@ def _pck_decompress(f, nxy: int, nz: int, use_zstd: bool) -> np.ndarray:
 
 def write_met_bin(filename: str, met: Met, met_type: int = 1,
                   pck_zstd: bool = False, zstd_level: int = -3) -> None:
+    _check_codec(met_type)
     nx, ny, npl = met.nx, met.ny, met.npl
     with open(filename, "wb") as f:
         f.write(struct.pack("<ii", met_type, 104))
@@ -99,6 +114,11 @@ def write_met_bin(filename: str, met: Met, met_type: int = 1,
                     level=zstd_level).compress(flat.astype("<f4").tobytes())
                 f.write(struct.pack("<Q", len(comp)))
                 f.write(comp)
+            elif met_type == 8:
+                from mptrac_tpu.met import lz4
+                comp = lz4.compress(flat.astype("<f4").tobytes())
+                f.write(struct.pack("<Q", len(comp)))
+                f.write(comp)
             else:
                 raise NotImplementedError(f"MET_TYPE {met_type}")
         f.write(struct.pack("<i", 999))
@@ -107,6 +127,7 @@ def write_met_bin(filename: str, met: Met, met_type: int = 1,
 def read_met_bin(filename: str, ctl) -> Dict[str, object]:
     """Read into the raw dict form used by met.build."""
     met_type = ctl.met_type
+    _check_codec(met_type)
     with open(filename, "rb") as f:
         ftype, version = struct.unpack("<ii", f.read(8))
         if ftype != met_type:
@@ -134,6 +155,11 @@ def read_met_bin(filename: str, ctl) -> Dict[str, object]:
                 clen, = struct.unpack("<Q", f.read(8))
                 raw = zstandard.ZstdDecompressor().decompress(
                     f.read(clen), max_output_size=4 * nx * ny * npl)
+                flat = np.frombuffer(raw, "<f4").reshape(nx * ny, npl)
+            elif met_type == 8:
+                from mptrac_tpu.met import lz4
+                clen, = struct.unpack("<Q", f.read(8))
+                raw = lz4.decompress(f.read(clen), 4 * nx * ny * npl)
                 flat = np.frombuffer(raw, "<f4").reshape(nx * ny, npl)
             else:
                 raise NotImplementedError(f"MET_TYPE {met_type}")

@@ -48,7 +48,7 @@ def read_met(filename: str, ctl: Ctl, clim=None) -> Met:
 
     if ctl.met_type == 0:
         raw = read_met_nc(filename, ctl)
-    elif ctl.met_type in (1, 2, 4):
+    elif ctl.met_type in (1, 2, 3, 4, 5, 7, 8):
         from mptrac_tpu.met.bin_io import read_met_bin
         raw = read_met_bin(filename, ctl)
     elif ctl.met_type == 6:

@@ -178,6 +178,39 @@ class Simulation:
                 t, ctl.t_stop)
             t += ctl.direction * ctl.dt_mod
 
+    def advance(self, t: float, write_output: bool = True,
+                first: bool = False):
+        """One wall-clock step of the driver loop at model time ``t``:
+        met buffering, optional sort, the jitted timestep, output and
+        checkpointing (reference trac.c:122-160)."""
+        with self.timers.timer("GET_MET", "INPUT"):
+            met01 = self.metbuf.get(t)
+        if first:
+            self.atm, self.cache = pipeline.init_modules(
+                self.ctl, self.clim, met01, self.atm, self.cache)
+        if self.ctl.sort_dt > 0 and math.fmod(t, self.ctl.sort_dt) == 0:
+            with self.timers.timer("MODULE_SORT", "PHYSICS"):
+                from mptrac_tpu.ops.sort import module_sort
+                self.atm, self.cache = module_sort(met01, self.atm,
+                                                   self.cache)
+        step = self._step_fn(self._flags(t))
+        with self.timers.timer("RUN_TIMESTEP", "PHYSICS", sync=None):
+            self.atm, self.cache = step(met01, self.atm, self.cache, t)
+        if write_output:
+            with self.timers.timer("WRITE_OUTPUT", "OUTPUT"):
+                self.write_output(t)
+        if (self.checkpoint_file and self.checkpoint_dt > 0
+                and math.fmod(t, self.checkpoint_dt) == 0):
+            from mptrac_tpu.checkpoint import save_checkpoint
+            save_checkpoint(self.checkpoint_file, self.atm,
+                            self.cache, t)
+
+    def close(self):
+        """Flush and close output files."""
+        if self._output is not None:
+            self._output.close()
+            self._output = None
+
     def run(self, write_output: bool = True, progress: bool = False):
         """Run the full time loop."""
         first = True
@@ -185,34 +218,11 @@ class Simulation:
             if self._resume_t is not None and \
                     self.ctl.direction * (t - self._resume_t) <= 0:
                 continue
-            with self.timers.timer("GET_MET", "INPUT"):
-                met01 = self.metbuf.get(t)
-            if first:
-                self.atm, self.cache = pipeline.init_modules(
-                    self.ctl, self.clim, met01, self.atm, self.cache)
-                first = False
-            if self.ctl.sort_dt > 0 and math.fmod(t, self.ctl.sort_dt) == 0:
-                with self.timers.timer("MODULE_SORT", "PHYSICS"):
-                    from mptrac_tpu.ops.sort import module_sort
-                    self.atm, self.cache = module_sort(met01, self.atm,
-                                                       self.cache)
-            step = self._step_fn(self._flags(t))
-            with self.timers.timer("RUN_TIMESTEP", "PHYSICS",
-                                   sync=None):
-                self.atm, self.cache = step(met01, self.atm, self.cache, t)
-            if write_output:
-                with self.timers.timer("WRITE_OUTPUT", "OUTPUT"):
-                    self.write_output(t)
-            if (self.checkpoint_file and self.checkpoint_dt > 0
-                    and math.fmod(t, self.checkpoint_dt) == 0):
-                from mptrac_tpu.checkpoint import save_checkpoint
-                save_checkpoint(self.checkpoint_file, self.atm,
-                                self.cache, t)
+            self.advance(t, write_output, first=first)
+            first = False
             if progress:
                 print(f"  t={t:.0f}", flush=True)
-        if self._output is not None:
-            self._output.close()
-            self._output = None
+        self.close()
         return self.atm
 
     def write_output(self, t: float):

@@ -24,7 +24,7 @@ def main(argv):
     if out_type == 0:
         from mptrac_tpu.met.write_nc import write_met_nc
         write_met_nc(argv[4], met)
-    elif out_type in (1, 2, 4):
+    elif out_type in (1, 2, 3, 4, 5, 7, 8):
         from mptrac_tpu.met.bin_io import write_met_bin
         write_met_bin(argv[4], met, met_type=out_type,
                       pck_zstd=bool(ctl.met_pck_zstd),

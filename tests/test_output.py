@@ -165,3 +165,41 @@ T_STOP = {t1}
     vtks = sorted(data.glob("vtk_*.vtk"))
     assert len(tabs) == 4 and len(vtks) == 4
     assert "POINTS 2 float" in vtks[-1].read_text()
+
+
+def test_atm_gnuplot_pipe(tmp_path, monkeypatch):
+    """ATM_GPFILE pipes the particle table into gnuplot with the
+    reference prelude (write_atm_asc, c:12462-12486)."""
+    fake_bin = tmp_path / "bin"
+    fake_bin.mkdir()
+    cap = tmp_path / "captured.gp"
+    (fake_bin / "gnuplot").write_text(
+        f"#!/bin/sh\ncat > {cap}\n")
+    os.chmod(fake_bin / "gnuplot", 0o755)
+    monkeypatch.setenv("PATH",
+                       f"{fake_bin}:{os.environ.get('PATH', '')}")
+
+    gp = tmp_path / "plot.gp"
+    gp.write_text("plot '-' w points\n")
+    ctl = read_ctl(None, ["NQ", "0", "METBASE", "-", "T_STOP", "3600",
+                          "ATM_GPFILE", str(gp)])
+    atm = make_atm(ctl, [10.0, 20.0], [0.0, 5.0], [500.0, 600.0])
+    from mptrac_tpu.io.atm_io import write_atm_asc
+    write_atm_asc(str(tmp_path / "atm_x.tab"), ctl, atm, 0.0)
+    text = cap.read_text()
+    assert 'set out "' in text and 'atm_x.tab.png"' in text
+    assert 'timestr="2000-01-01, 00:00 UTC"' in text
+    assert "plot '-' w points" in text
+    assert "10 0" in text            # data rows follow the script
+
+
+def test_atm_gnuplot_missing_binary(tmp_path, monkeypatch):
+    monkeypatch.setenv("PATH", str(tmp_path))   # no gnuplot anywhere
+    gp = tmp_path / "plot.gp"
+    gp.write_text("plot '-'\n")
+    ctl = read_ctl(None, ["NQ", "0", "METBASE", "-", "T_STOP", "3600",
+                          "ATM_GPFILE", str(gp)])
+    atm = make_atm(ctl, [10.0], [0.0], [500.0])
+    from mptrac_tpu.io.atm_io import write_atm_asc
+    with pytest.raises(RuntimeError, match="pipe to gnuplot"):
+        write_atm_asc(str(tmp_path / "atm_x.tab"), ctl, atm, 0.0)

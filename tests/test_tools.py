@@ -112,8 +112,8 @@ def test_wind_tool_and_met_roundtrip(tmp_path):
     iy_eq = np.argmin(np.abs(np.asarray(met.lat)))
     assert abs(u[5, iy_eq, 3] - 38.5876) < 0.01
 
-    # binary round trip (raw + pck)
-    for met_type, tol in ((1, 0.0), (2, 1e-3)):
+    # binary round trip (raw + pck + lz4)
+    for met_type, tol in ((1, 0.0), (2, 1e-3), (8, 0.0)):
         binf = tmp_path / f"wind.t{met_type}.bin"
         run_tool(met_conv.main, [
             "met_conv", str(ctl_file), str(metfile), "0", str(binf),
@@ -123,6 +123,14 @@ def test_wind_tool_and_met_roundtrip(tmp_path):
         u2 = np.asarray(met2.fields3d["u"])
         # binary stores the preprocessed grid (with wrap column)
         np.testing.assert_allclose(u2, u, atol=max(tol * 40, 1e-6))
+
+    # optional codecs absent from this build error like the reference
+    # compiled without them (mptrac.c:7881-7904)
+    from mptrac_tpu.met.bin_io import write_met_bin
+    for met_type in (3, 5, 7):
+        with pytest.raises(NotImplementedError, match="compression"):
+            write_met_bin(str(tmp_path / "x.bin"), met,
+                          met_type=met_type)
 
 
 def test_atm_stat(tmp_path):
