@@ -26,6 +26,19 @@ SQUARES_KEY = 0xC8E4FD154CE32F6D
 _TWO64 = 18446744073709551616.0  # (double)UINT64_MAX rounds to 2^64
 
 
+def _tpu_backend() -> bool:
+    """True on backends without practical u64 support (TPU / axon)."""
+    import os
+
+    if os.environ.get("MPTRAC_FORCE_SQUARES"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu", "cuda",
+                                             "rocm")
+    except Exception:
+        return False
+
+
 def squares_uniform(ctr, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate ``n + 1`` uniform doubles in [0, 1) and the advanced
     counter (reference c:5598-5630: the loop runs ``i <= n`` and the
@@ -79,7 +92,16 @@ def module_rng(ctl_rng_type: int, ctr, n: int, method: int,
     Returns (values[n], new_ctr).  rng_type 0/1 -> Squares (type 0, the
     GSL per-thread stream, has no portable bitstream; Squares is used
     for determinism), 2 -> jax.random threefry.
+
+    On TPU backends, types 0/1 fall back to threefry: XLA:TPU has no
+    native 64-bit integer multiply and the Squares u64 chain does not
+    compile in practical time.  This mirrors the reference, whose RNG
+    streams are also backend-dependent (GSL on CPU vs cuRAND on GPU,
+    c:5535-5671); the counter advance is kept identical so
+    checkpoints stay portable.  Set MPTRAC_FORCE_SQUARES=1 to override.
     """
+    if ctl_rng_type in (0, 1) and _tpu_backend():
+        ctl_rng_type = 2
     if ctl_rng_type in (0, 1):
         if method == 0:
             u, ctr = squares_uniform(ctr, n)
