@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--exact", action="store_true",
                     help="reference-parity f64 interpolation instead of "
                          "the packed f32 fast path")
+    ap.add_argument("--fp32", action="store_true",
+                    help="float32 compute mode (positions/quantities/"
+                         "met axes; time stays float64) — the TPU "
+                         "fast path")
+    ap.add_argument("--scan", type=int, default=0, metavar="K",
+                    help="advance K timesteps per device dispatch "
+                         "(lax.scan) instead of one")
     ap.add_argument("--dd", type=int, default=0, metavar="N",
                     help="measure domain-decomposition scaling over N "
                          "devices (virtual CPU devices if fewer real "
@@ -63,6 +70,9 @@ def main():
 
     ctl, clim, met01, atm, cache = g._make_setup(
         args.n_parcels, nx=args.nx, ny=args.ny, nz=args.nz)
+    if args.fp32:
+        from mptrac_tpu.types import astype_state
+        atm, cache, met01 = astype_state(atm, cache, met01)
 
     pack = None
     if not args.exact:
@@ -70,23 +80,44 @@ def main():
         pack = jax.jit(build_advect_pack)(met01)
         jax.block_until_ready(pack)
 
-    step = jax.jit(
-        lambda m, a, c, t, p: pipeline.run_timestep(ctl, clim, m, a, c,
-                                                    t, pack=p))
+    if args.scan > 1:
+        scan = pipeline.make_scan_step(ctl, clim,
+                                       use_pack=pack is not None)
+        k = args.scan
 
-    # Warmup / compile
-    t = jnp.asarray(ctl.dt_mod, jnp.float64)
-    a, c = step(met01, atm, cache, t, pack)
-    jax.block_until_ready((a.lon, c.rng_ctr))
+        def step_block(a, c, i0):
+            ts = (jnp.arange(k, dtype=jnp.float64) + i0 + 1) \
+                * ctl.dt_mod
+            if pack is not None:
+                return scan(met01, a, c, ts, pack)
+            return scan(met01, a, c, ts)
 
-    t0 = time.time()
-    for i in range(args.steps):
-        t = jnp.asarray((i + 2) * ctl.dt_mod, jnp.float64)
-        a, c = step(met01, a, c, t, pack)
-    jax.block_until_ready((a.lon, c.rng_ctr))
-    dt = time.time() - t0
+        a, c = step_block(atm, cache, 0)
+        jax.block_until_ready((a.lon, c.rng_ctr))
+        nblocks = max(1, args.steps // k)
+        t0 = time.time()
+        for b in range(nblocks):
+            a, c = step_block(a, c, (b + 1) * k)
+        jax.block_until_ready((a.lon, c.rng_ctr))
+        dt = time.time() - t0
+        rate = args.n_parcels * nblocks * k / dt
+    else:
+        step = jax.jit(
+            lambda m, a, c, t, p: pipeline.run_timestep(
+                ctl, clim, m, a, c, t, pack=p))
 
-    rate = args.n_parcels * args.steps / dt
+        # Warmup / compile
+        t = jnp.asarray(ctl.dt_mod, jnp.float64)
+        a, c = step(met01, atm, cache, t, pack)
+        jax.block_until_ready((a.lon, c.rng_ctr))
+
+        t0 = time.time()
+        for i in range(args.steps):
+            t = jnp.asarray((i + 2) * ctl.dt_mod, jnp.float64)
+            a, c = step(met01, a, c, t, pack)
+        jax.block_until_ready((a.lon, c.rng_ctr))
+        dt = time.time() - t0
+        rate = args.n_parcels * args.steps / dt
     n_dev = jax.local_device_count()
     result = {
         "metric": "parcel_steps_per_s_per_chip",

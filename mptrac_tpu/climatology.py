@@ -188,7 +188,9 @@ def clim_tropo(clim: Clim, t, lat):
           + wlat * (clim.tropo[isec + 1, ilat + 1]
                     - clim.tropo[isec + 1, ilat]))
     t0, t1 = clim.tropo_time[isec], clim.tropo_time[isec + 1]
-    return p0 + (p1 - p0) / (t1 - t0) * (sec - t0)
+    out = p0 + (p1 - p0) / (t1 - t0) * (sec - t0)
+    # fp32 mode: follow the caller's latitude dtype (f64 is a no-op)
+    return out.astype(jnp.asarray(lat).dtype)
 
 
 def clim_tropo_np(clim, t, lat):
@@ -235,7 +237,7 @@ def clim_zm(zm: ClimZm, t, lat, p):
     a00 = lin(zm.lat[ilat], aux[0], zm.lat[ilat + 1], aux[1], lat_c)
     a10 = lin(zm.lat[ilat], aux[2], zm.lat[ilat + 1], aux[3], lat_c)
     out = lin(zm.time[isec], a00, zm.time[isec + 1], a10, sec)
-    return jnp.maximum(out, 0.0)
+    return jnp.maximum(out, 0.0).astype(jnp.asarray(lat).dtype)
 
 
 def clim_ts(ts: ClimTs, t):

@@ -36,6 +36,17 @@ def _check_codec(met_type: int) -> None:
             f"MPTRAC was built without {_UNSUPPORTED[met_type]} "
             "compression!")
 
+
+def _log_codec(name: str, codec: str, n_values: int, comp_len: int,
+               verbose: bool) -> None:
+    """Compression diagnostics (reference COMPRESS_RATIO/BPV logging,
+    mptrac.h:561-585): ratio vs float32 payload and bits per value."""
+    if verbose:
+        raw = 4 * n_values
+        print(f"Write 3-D variable: {name} ({codec}, "
+              f"RATIO={raw / max(comp_len, 1):g}, "
+              f"BPV={8 * comp_len / max(n_values, 1):g})")
+
 #: 2-D field write order (reference c:8666-8689)
 BIN_2D = ("ps", "ts", "zs", "us", "vs", "ess", "nss", "shf", "lsm",
           "sst", "pbl", "pt", "tt", "zt", "h2ot", "pct", "pcb", "cl",
@@ -88,7 +99,8 @@ def _pck_decompress(f, nxy: int, nz: int, use_zstd: bool) -> np.ndarray:
 
 
 def write_met_bin(filename: str, met: Met, met_type: int = 1,
-                  pck_zstd: bool = False, zstd_level: int = -3) -> None:
+                  pck_zstd: bool = False, zstd_level: int = -3,
+                  verbose: bool = False) -> None:
     _check_codec(met_type)
     nx, ny, npl = met.nx, met.ny, met.npl
     with open(filename, "wb") as f:
@@ -107,16 +119,21 @@ def write_met_bin(filename: str, met: Met, met_type: int = 1,
             if met_type == 1:
                 flat.astype("<f4").tofile(f)
             elif met_type == 2:
-                f.write(_pck_compress(flat, pck_zstd, zstd_level))
+                payload = _pck_compress(flat, pck_zstd, zstd_level)
+                _log_codec(name, "PCK", flat.size, len(payload),
+                           verbose)
+                f.write(payload)
             elif met_type == 4:
                 import zstandard
                 comp = zstandard.ZstdCompressor(
                     level=zstd_level).compress(flat.astype("<f4").tobytes())
+                _log_codec(name, "ZSTD", flat.size, len(comp), verbose)
                 f.write(struct.pack("<Q", len(comp)))
                 f.write(comp)
             elif met_type == 8:
                 from mptrac_tpu.met import lz4
                 comp = lz4.compress(flat.astype("<f4").tobytes())
+                _log_codec(name, "LZ4", flat.size, len(comp), verbose)
                 f.write(struct.pack("<Q", len(comp)))
                 f.write(comp)
             else:

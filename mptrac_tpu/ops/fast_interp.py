@@ -72,9 +72,12 @@ def interp_uvw_packed(met01: Met, pack: jnp.ndarray, ts, loc:
     a1 = wy * (a10 - a11) + a11
     vals = wx * (a0 - a1) + a1                         # [np, 8]
 
+    # Time lerp in the grid-axis dtype: float64 in parity mode (the
+    # reference's double math over float fields), float32 in fp32 mode
+    dtype = met01.lon.dtype
     t0, t1 = met01.time[0], met01.time[1]
-    wt = ((t1 - ts) / (t1 - t0)).astype(jnp.float64)
-    v0 = vals[:, 0:3].astype(jnp.float64)
-    v1 = vals[:, 3:6].astype(jnp.float64)
+    wt = ((t1 - ts) / (t1 - t0)).astype(dtype)
+    v0 = vals[:, 0:3].astype(dtype)
+    v1 = vals[:, 3:6].astype(dtype)
     out = wt[:, None] * (v0 - v1) + v1
     return out[:, 0], out[:, 1], out[:, 2]

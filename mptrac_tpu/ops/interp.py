@@ -199,9 +199,13 @@ def interp_2d(field: jnp.ndarray, loc: Locator, dtype=None) -> jnp.ndarray:
 
 def time_weight(met01: Met, ts) -> jnp.ndarray:
     """wt = (t1 - ts) / (t1 - t0): weight of snapshot 0
-    (reference intpol_met_time_3d, c:3130)."""
+    (reference intpol_met_time_3d, c:3130).
+
+    The difference is taken in the time dtype (float64 — jsec values
+    need it) and the ratio is cast to the grid-axis dtype so that fp32
+    mode stays float32 downstream."""
     t0, t1 = met01.time[0], met01.time[1]
-    return (t1 - ts) / (t1 - t0)
+    return ((t1 - ts) / (t1 - t0)).astype(met01.lon.dtype)
 
 
 def interp_time_3d(met01: Met, name: str, ts, loc: Locator,

@@ -86,7 +86,8 @@ def squares_normal(ctr, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def module_rng(ctl_rng_type: int, ctr, n: int, method: int,
-               key=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               key=None, dtype=jnp.float64
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch like the reference ``module_rng`` (c:5535).
 
     Returns (values[n], new_ctr).  rng_type 0/1 -> Squares (type 0, the
@@ -105,13 +106,14 @@ def module_rng(ctl_rng_type: int, ctr, n: int, method: int,
     if ctl_rng_type in (0, 1):
         if method == 0:
             u, ctr = squares_uniform(ctr, n)
-            return u[:n], ctr
-        return squares_normal(ctr, n)
+            return u[:n].astype(dtype), ctr
+        rs, ctr = squares_normal(ctr, n)
+        return rs.astype(dtype), ctr
     # Threefry: counter folds into the key for stateless streams
     k = jax.random.fold_in(jax.random.PRNGKey(0) if key is None else key,
                            ctr.astype(jnp.uint32))
     if method == 0:
-        vals = jax.random.uniform(k, (n,), jnp.float64)
+        vals = jax.random.uniform(k, (n,), dtype)
     else:
-        vals = jax.random.normal(k, (n,), jnp.float64)
+        vals = jax.random.normal(k, (n,), dtype)
     return vals, ctr + jnp.uint64(n + 1)

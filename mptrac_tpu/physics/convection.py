@@ -16,7 +16,8 @@ from mptrac_tpu.types import Atm, Cache, Met
 
 def module_convection(ctl: Ctl, cache: Cache, met01: Met, atm: Atm):
     n = atm.npmax
-    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, n, 0)
+    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, n, 0,
+                         dtype=atm.lon.dtype)
     rs = rs[:n]
     cache = cache.replace(rng_ctr=ctr)
 

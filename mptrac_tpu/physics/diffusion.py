@@ -48,7 +48,8 @@ def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
     """Langevin random-walk diffusion with well-mixed vertical drift
     correction (reference c:4580-4730)."""
     n = atm.npmax
-    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1)
+    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1,
+                         dtype=atm.lon.dtype)
     rs = rs.reshape(n, 3)
     cache = cache.replace(rng_ctr=ctr)
 
@@ -119,7 +120,8 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
     float32 in the reference's summation order for cross-checking.
     """
     n = atm.npmax
-    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1)
+    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1,
+                         dtype=atm.lon.dtype)
     rs = rs.reshape(n, 3)
     cache = cache.replace(rng_ctr=ctr)
 

@@ -22,7 +22,8 @@ from mptrac_tpu.types import Atm, Cache, Met
 
 def module_diff_pbl(ctl: Ctl, cache: Cache, met01: Met, atm: Atm):
     n = atm.npmax
-    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1)
+    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1,
+                         dtype=atm.lon.dtype)
     rs = rs.reshape(n, 3)
     cache = cache.replace(rng_ctr=ctr)
 
@@ -158,9 +159,9 @@ def module_diff_pbl(ctl: Ctl, cache: Cache, met01: Met, atm: Atm):
     rw = jnp.exp(-dt_abs / tau_w)
     rw2 = jnp.sqrt(jnp.maximum(0.0, 1.0 - rw * rw))
 
-    up = cache.uvwp[0].astype(jnp.float64)
-    vp = cache.uvwp[1].astype(jnp.float64)
-    wp = cache.uvwp[2].astype(jnp.float64)
+    up = cache.uvwp[0].astype(atm.lon.dtype)
+    vp = cache.uvwp[1].astype(atm.lon.dtype)
+    wp = cache.uvwp[2].astype(atm.lon.dtype)
 
     up_new = (up * ru + sig_u * ru2 * rs[:, 0]).astype(jnp.float32)
     vp_new = (vp * rv + sig_v * rv2 * rs[:, 1]).astype(jnp.float32)
@@ -171,11 +172,11 @@ def module_diff_pbl(ctl: Ctl, cache: Cache, met01: Met, atm: Atm):
               ).astype(jnp.float32)
 
     cart = met01.coord_type != 0
-    lon = atm.lon + dx2coord(up_new.astype(jnp.float64) * dt, atm.lat, cart)
-    lat = atm.lat + dy2coord(vp_new.astype(jnp.float64) * dt, cart)
+    lon = atm.lon + dx2coord(up_new.astype(atm.lon.dtype) * dt, atm.lat, cart)
+    lat = atm.lat + dy2coord(vp_new.astype(atm.lon.dtype) * dt, cart)
 
     # Reflect at surface and PBL top, flipping the perturbation
-    znew = z + wp_new.astype(jnp.float64) * dt
+    znew = z + wp_new.astype(atm.lon.dtype) * dt
     wflip = wp_new
     for _ in range(6):
         below = znew < 0.0

@@ -181,6 +181,30 @@ def make_step(ctl: Ctl, clim: Clim, flags: StepFlags = StepFlags()):
     return step
 
 
+def make_scan_step(ctl: Ctl, clim: Clim, flags: StepFlags = StepFlags(),
+                   use_pack: bool = False):
+    """Build a jitted multi-step function: ``lax.scan`` over a vector
+    of model times, so one dispatch advances many timesteps.
+
+    The reference dispatches every step from the host
+    (trac.c:122-160); on TPU the per-dispatch latency dominates at
+    small step costs, so the driver batches the homogeneous steps
+    between met swaps / output times into one on-device scan.  All
+    scanned steps share the same static module gates (``flags``)."""
+    @jax.jit
+    def scan_steps(met01: Met, atm: Atm, cache: Cache, ts, pack=None):
+        def body(carry, t):
+            a, c = carry
+            a, c = run_timestep(ctl, clim, met01, a, c, t, flags,
+                                pack if use_pack else None)
+            return (a, c), None
+
+        (atm, cache), _ = jax.lax.scan(body, (atm, cache), ts)
+        return atm, cache
+
+    return scan_steps
+
+
 def init_modules(ctl: Ctl, clim: Clim, met01: Met, atm: Atm,
                  cache: Cache):
     """First-step module initialization (reference c:7556-7567)."""

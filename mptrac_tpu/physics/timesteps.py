@@ -33,7 +33,9 @@ def module_timesteps(ctl: Ctl, cache: Cache, met0: Met, atm: Atm,
     # dd mode: parcels are in their owner's tile by construction; the
     # reference instead freezes on current_subdomain == -1 (c:5847)
     dt = jnp.where(atm.mask, dt, 0.0)
-    return cache.replace(dt=dt)
+    # keep the cache dtype (fp32 mode stores dt in float32; the
+    # t - time difference itself is small enough for float32)
+    return cache.replace(dt=dt.astype(cache.dt.dtype))
 
 
 def init_time_range(ctl: Ctl, atm_time) -> Ctl:

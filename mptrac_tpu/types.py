@@ -171,6 +171,38 @@ _register(Met, ["time", "lon", "lat", "p", "hybrid", "fields2d", "fields3d"],
           ["coord_type", "npl_ml"])
 
 
+def astype_state(atm: "Atm" = None, cache: "Cache" = None,
+                 met: "Met" = None, dtype=jnp.float32):
+    """Cast model state to a compute precision (framework extension;
+    the reference is double-only).
+
+    In fp32 mode positions, quantities, per-parcel timesteps and met
+    grid axes go to float32 while parcel **time stays float64** (jsec
+    magnitudes ~1e9 need it).  Position resolution at float32 is
+    ~1e-5 degrees (~1 m) — the same order as the float32 met fields'
+    own information content.  On TPU, float64 is software-emulated, so
+    this is the fast path; float64 remains the reference-parity
+    default.  Returns the same tuple shape as the non-None inputs.
+    """
+    out = []
+    if atm is not None:
+        out.append(atm.replace(
+            lon=atm.lon.astype(dtype), lat=atm.lat.astype(dtype),
+            p=atm.p.astype(dtype),
+            q={k: v.astype(dtype) for k, v in atm.q.items()}))
+    if cache is not None:
+        out.append(cache.replace(
+            dt=cache.dt.astype(dtype),
+            iso_var=cache.iso_var.astype(dtype),
+            iso_ps=cache.iso_ps.astype(dtype),
+            iso_ts=cache.iso_ts.astype(dtype)))
+    if met is not None:
+        out.append(dataclasses.replace(
+            met, lon=met.lon.astype(dtype), lat=met.lat.astype(dtype),
+            p=met.p.astype(dtype), hybrid=met.hybrid.astype(dtype)))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
 def stack_met(met0: Met, met1: Met) -> Met:
     """Stack two time-bracketing snapshots along a new leading axis.
 

@@ -166,3 +166,46 @@ def test_sort_groups_by_cell():
     # same multiset of positions
     np.testing.assert_allclose(np.sort(np.asarray(atm.lon)),
                                np.sort(np.asarray(atm2.lon)))
+
+
+def test_isosurf_pressure_and_balloon(tmp_path):
+    """Isosurface modes: 1 pins parcels to their initial pressure, 4
+    follows a balloon p(t) track (reference module_isosurf,
+    c:4878-5001)."""
+    import jax
+    from mptrac_tpu import read_ctl, stack_met
+    from mptrac_tpu.met.synthetic import make_wind_met
+    from mptrac_tpu.physics.isosurf import (module_isosurf,
+                                            module_isosurf_init)
+    from mptrac_tpu.types import Atm, Cache
+
+    met01 = stack_met(make_wind_met(t0=0.0, w0=1.0),
+                      make_wind_met(t0=86400.0, w0=1.0))
+    n = 8
+    atm = Atm.zeros(n).replace(
+        time=jnp.full(n, 3000.0),
+        lon=jnp.linspace(-150, 150, n),
+        lat=jnp.zeros(n), p=jnp.linspace(300, 800, n),
+        np=jnp.asarray(n, jnp.int32))
+    cache = Cache.zeros(n)
+
+    # mode 1: restore the saved pressure after perturbation
+    ctl = read_ctl(None, ["NQ", "0", "METBASE", "-", "T_STOP", "86400",
+                          "ISOSURF", "1"])
+    cache1 = module_isosurf_init(ctl, cache, met01, atm)
+    moved = atm.replace(p=atm.p + 37.0)
+    back = module_isosurf(ctl, cache1, met01, moved)
+    np.testing.assert_allclose(np.asarray(back.p), np.asarray(atm.p))
+
+    # mode 4: balloon track linear interp + clamped ends
+    track = tmp_path / "balloon.tab"
+    track.write_text("# t p\n0 500\n6000 400\n12000 300\n")
+    ctl4 = read_ctl(None, ["NQ", "0", "METBASE", "-", "T_STOP", "86400",
+                           "ISOSURF", "4", "BALLOON", str(track)])
+    cache4 = module_isosurf_init(ctl4, Cache.zeros(n, iso_nmax=3),
+                                 met01, atm)
+    out = module_isosurf(ctl4, cache4, met01, atm)  # t=3000 -> 450 hPa
+    np.testing.assert_allclose(np.asarray(out.p), 450.0)
+    late = atm.replace(time=jnp.full(n, 99999.0))
+    out2 = module_isosurf(ctl4, cache4, met01, late)  # clamp -> 300
+    np.testing.assert_allclose(np.asarray(out2.p), 300.0)
