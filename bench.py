@@ -40,11 +40,20 @@ def main():
     ap.add_argument("--exact", action="store_true",
                     help="reference-parity f64 interpolation instead of "
                          "the packed f32 fast path")
-    ap.add_argument("--fp32", action="store_true",
+    ap.add_argument("--pack8", action="store_true",
+                    help="use the 8-wide packed wind table (8 gather "
+                         "offsets/parcel) instead of the 64-wide "
+                         "corner table (1 offset/parcel); 8x less "
+                         "table memory, ~8x slower gathers")
+    ap.add_argument("--fp32", action="store_true", default=True,
                     help="float32 compute mode (positions/quantities/"
                          "met axes; time stays float64) — the TPU "
-                         "fast path")
-    ap.add_argument("--scan", type=int, default=0, metavar="K",
+                         "fast path (default; see --f64)")
+    ap.add_argument("--f64", dest="fp32", action="store_false",
+                    help="float64 compute mode (reference parity)")
+    ap.add_argument("--scan", type=int,
+                    default=int(os.environ.get("BENCH_SCAN", 10)),
+                    metavar="K",
                     help="advance K timesteps per device dispatch "
                          "(lax.scan) instead of one")
     ap.add_argument("--dd", type=int, default=0, metavar="N",
@@ -72,13 +81,26 @@ def main():
         args.n_parcels, nx=args.nx, ny=args.ny, nz=args.nz)
     if args.fp32:
         from mptrac_tpu.types import astype_state
-        atm, cache, met01 = astype_state(atm, cache, met01)
+        atm, cache, met01, clim = astype_state(atm, cache, met01, clim)
+    # Explicit device residency: on networked TPU backends, arrays that
+    # are merely "committed" can otherwise be re-staged per dispatch.
+    met01, atm, cache, clim = jax.device_put((met01, atm, cache, clim))
 
     pack = None
     if not args.exact:
-        from mptrac_tpu.ops.fast_interp import build_advect_pack
-        pack = jax.jit(build_advect_pack)(met01)
+        from mptrac_tpu.ops.fast_interp import (MetPack,
+                                                build_advect_pack,
+                                                build_met_pack)
+        if args.pack8:
+            pack = MetPack(w64=jax.jit(build_advect_pack)(met01))
+        else:
+            pack = jax.jit(build_met_pack)(met01)
         jax.block_until_ready(pack)
+
+    def fetch(a, c):
+        # Force full execution: block_until_ready alone does not drain
+        # the pipeline on remote-attached TPU backends.
+        return float(jnp.sum(a.p[:128])) + float(c.rng_ctr)
 
     if args.scan > 1:
         scan = pipeline.make_scan_step(ctl, clim,
@@ -93,12 +115,12 @@ def main():
             return scan(met01, a, c, ts)
 
         a, c = step_block(atm, cache, 0)
-        jax.block_until_ready((a.lon, c.rng_ctr))
+        fetch(a, c)
         nblocks = max(1, args.steps // k)
         t0 = time.time()
         for b in range(nblocks):
             a, c = step_block(a, c, (b + 1) * k)
-        jax.block_until_ready((a.lon, c.rng_ctr))
+        fetch(a, c)
         dt = time.time() - t0
         rate = args.n_parcels * nblocks * k / dt
     else:
@@ -109,13 +131,13 @@ def main():
         # Warmup / compile
         t = jnp.asarray(ctl.dt_mod, jnp.float64)
         a, c = step(met01, atm, cache, t, pack)
-        jax.block_until_ready((a.lon, c.rng_ctr))
+        fetch(a, c)
 
         t0 = time.time()
         for i in range(args.steps):
             t = jnp.asarray((i + 2) * ctl.dt_mod, jnp.float64)
             a, c = step(met01, a, c, t, pack)
-        jax.block_until_ready((a.lon, c.rng_ctr))
+        fetch(a, c)
         dt = time.time() - t0
         rate = args.n_parcels * args.steps / dt
     n_dev = jax.local_device_count()

@@ -80,7 +80,9 @@ class DDGrid:
         ix = jnp.floor((lon_w - self.lon0) / self.dlon).astype(jnp.int32)
         ix = jnp.clip(ix, 0, self.nx_glob - 1)
         sx = jnp.clip(ix // base_x, 0, self.n_zonal - 1)
-        iy = jnp.searchsorted(lat_axis, lat, side="right") - 1
+        # compare-count instead of searchsorted (serial while on TPU)
+        iy = jnp.sum(lat_axis <= lat[..., None], axis=-1).astype(
+            jnp.int32) - 1
         iy = jnp.clip(iy, 0, self.ny_glob - 1)
         base_y = -(-self.ny_glob // self.n_merid)
         sy = jnp.clip(iy // base_y, 0, self.n_merid - 1)

@@ -57,9 +57,13 @@ def _advect_plev(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
                  atm.p + dts * w)
         tm = atm.time + dts
         if ctl.advect_vert_coord == 0 and pack is not None:
-            from mptrac_tpu.ops.fast_interp import interp_uvw_packed
+            from mptrac_tpu.ops.fast_interp import (interp_uvw_packed,
+                                                    interp_uvw_packed64)
             loc = interp.locate_3d(met01, x[0], x[1], x[2])
-            u, v, w = interp_uvw_packed(met01, pack, tm, loc)
+            if pack.shape[-1] == 64:
+                u, v, w = interp_uvw_packed64(met01, pack, tm, loc)
+            else:
+                u, v, w = interp_uvw_packed(met01, pack, tm, loc)
         elif ctl.advect_vert_coord == 0:
             loc = interp.locate_3d(met01, x[0], x[1], x[2])
             u = interp.interp_time_3d(met01, "u", tm, loc)

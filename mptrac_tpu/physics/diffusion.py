@@ -44,7 +44,7 @@ def tropo_weight(ctl: Ctl, clim: Clim, time, lat, p, pt=None):
 
 
 def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
-                     atm: Atm):
+                     atm: Atm, sfc=None):
     """Langevin random-walk diffusion with well-mixed vertical drift
     correction (reference c:4580-4730)."""
     n = atm.npmax
@@ -57,10 +57,16 @@ def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
     active = (dt != 0.0) & atm.mask
 
     loc = interp.locate_3d(met01, atm.lon, atm.lat, atm.p)
-    pbl = interp.interp_time_2d(met01, "pbl", atm.time, loc)
+    if sfc is not None:
+        from mptrac_tpu.ops.fast_interp import interp_sfc_packed
+        v2 = interp_sfc_packed(met01, sfc, ("pbl", "ps"), atm.time,
+                               loc)
+        pbl, ps = v2["pbl"], v2["ps"]
+    else:
+        pbl = interp.interp_time_2d(met01, "pbl", atm.time, loc)
+        ps = interp.interp_time_2d(met01, "ps", atm.time, loc)
     if ctl.turb_pbl_scheme > 0:
         active = active & ~(atm.p >= pbl)
-    ps = interp.interp_time_2d(met01, "ps", atm.time, loc)
     p_grid = met01.p[0] if met01.p.ndim == 2 else met01.p
     ptop = p_grid[-1]
 
@@ -140,7 +146,30 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
     w3 = met01.fields3d["w"]
     nx, ny, npl = u3.shape[-3:]
 
-    if pack is not None:
+    if pack is not None and pack.shape[-1] == 64:
+        # The 64-wide corner row already holds all 8 corners x 2
+        # snapshots: the whole 16-point stencil is ONE gather offset
+        # per parcel (see build_advect_pack64).
+        base = (ix * ny + iy) * npl + iz
+        rows = jnp.take(pack, base, axis=0)          # [np, 64] f32
+
+        def sig64(comp):
+            mean = jnp.zeros(n, jnp.float32)
+            msq = jnp.zeros(n, jnp.float32)
+            for c in range(8):
+                for lane in (c * 6 + comp, c * 6 + 3 + comp):
+                    val = rows[:, lane]
+                    mean = mean + val
+                    msq = msq + val * val
+            var = (msq / jnp.float32(16.0)
+                   - (mean / jnp.float32(16.0)) ** 2)
+            return jnp.where(var > 0, jnp.sqrt(var),
+                             0.0).astype(jnp.float32)
+
+        usig = sig64(0)
+        vsig = sig64(1)
+        wsig = sig64(2)
+    elif pack is not None:
         # One wide-row gather serves all three components and both
         # snapshots; the sequential corner/snapshot accumulation order
         # matches the reference's f32 summation (c:4280-4304).

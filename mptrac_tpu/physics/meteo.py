@@ -29,11 +29,21 @@ _Q3D = {"zg": "z", "t": "t", "u": "u", "v": "v", "w": "w", "pv": "pv",
 
 
 def module_meteo(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
-                 atm: Atm) -> Atm:
+                 atm: Atm, pack=None) -> Atm:
     names = set(ctl.qnt_name)
     if not names:
         return atm
     q = dict(atm.q)
+
+    from mptrac_tpu.ops.fast_interp import (MetPack, SFC_FIELDS,
+                                            interp_sfc_packed,
+                                            interp_t_packed64)
+    if pack is not None and not isinstance(pack, MetPack):
+        pack = MetPack(w64=pack, sfc=None)
+    w64 = (pack.w64 if pack is not None
+           and pack.w64 is not None and pack.w64.shape[-1] == 64
+           else None)
+    sfc = pack.sfc if pack is not None else None
 
     loc = interp.locate_3d(met01, atm.lon, atm.lat, atm.p)
 
@@ -45,10 +55,23 @@ def module_meteo(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
                                            "rhice", "theta", "tvirt",
                                            "lapse", "tdew", "tice",
                                            "tnat", "tsts", "zeta_d"}):
-            vals3[fname] = interp.interp_time_3d(met01, fname, atm.time, loc)
+            if fname == "t" and w64 is not None:
+                vals3[fname] = interp_t_packed64(met01, w64, atm.time,
+                                                 loc)
+            else:
+                vals3[fname] = interp.interp_time_3d(met01, fname,
+                                                     atm.time, loc)
+    sfc_names = [f for q2, f in _Q2D.items()
+                 if q2 in names and f in SFC_FIELDS]
+    sfc_vals = (interp_sfc_packed(met01, sfc, sfc_names, atm.time, loc)
+                if sfc is not None and sfc_names else {})
     for qname, fname in _Q2D.items():
         if qname in names:
-            q[qname] = interp.interp_time_2d(met01, fname, atm.time, loc)
+            if fname in sfc_vals:
+                q[qname] = sfc_vals[fname]
+            else:
+                q[qname] = interp.interp_time_2d(met01, fname,
+                                                 atm.time, loc)
     for qname, fname in _Q3D.items():
         if qname in names:
             q[qname] = vals3[fname]

@@ -42,8 +42,14 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
                  t, flags: StepFlags = StepFlags(), pack=None):
     """One model timestep; mirrors the reference module order.
 
-    ``pack`` optionally supplies the precomputed packed wind table for
-    the fast advection path (ops.fast_interp.build_advect_pack)."""
+    ``pack`` optionally supplies precomputed wide-row gather tables
+    for the fast path: a MetPack (ops.fast_interp.build_met_pack) or a
+    bare packed wind table (build_advect_pack / build_advect_pack64)."""
+    from mptrac_tpu.ops.fast_interp import MetPack
+    if pack is not None and not isinstance(pack, MetPack):
+        pack = MetPack(w64=pack, sfc=None)
+    wpack = pack.w64 if pack is not None else None
+    sfc = pack.sfc if pack is not None else None
 
     # Set timesteps of air parcels
     with jax.named_scope("module_timesteps"):
@@ -52,19 +58,20 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
     # (module_sort is a performance transform — handled by the driver)
 
     # Check positions (initial)
-    atm = m_position.module_position(cache, met01, atm)
+    atm = m_position.module_position(cache, met01, atm, sfc)
 
     # Advection
     if ctl.advect > 0:
         with jax.named_scope("module_advect"):
-            atm = m_advect.module_advect(ctl, cache, met01, atm, pack)
+            atm = m_advect.module_advect(ctl, cache, met01, atm, wpack)
 
     # Turbulent diffusion
     if ctl.diffusion and (
             ctl.turb_dx_pbl > 0 or ctl.turb_dz_pbl > 0
             or ctl.turb_dx_trop > 0 or ctl.turb_dz_trop > 0
             or ctl.turb_dx_strat > 0 or ctl.turb_dz_strat > 0):
-        atm, cache = m_diff.module_diff_turb(ctl, cache, clim, met01, atm)
+        atm, cache = m_diff.module_diff_turb(ctl, cache, clim, met01,
+                                             atm, sfc)
 
     # PBL diffusion scheme
     if ctl.diffusion and ctl.turb_pbl_scheme == 1:
@@ -74,7 +81,7 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
     # Mesoscale diffusion
     if ctl.diffusion and (ctl.turb_mesox > 0 or ctl.turb_mesoz > 0):
         atm, cache = m_diff.module_diff_meso(ctl, cache, met01, atm,
-                                             pack)
+                                             wpack)
 
     # Convection
     if (ctl.conv_mix_pbl or ctl.conv_cape >= 0) and flags.do_conv:
@@ -92,11 +99,11 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
         atm = module_isosurf(ctl, cache, met01, atm)
 
     # Check positions (final)
-    atm = m_position.module_position(cache, met01, atm)
+    atm = m_position.module_position(cache, met01, atm, sfc)
 
     # Interpolate meteo data
     if ctl.met_dt_out > 0 and flags.do_meteo:
-        atm = m_meteo.module_meteo(ctl, cache, clim, met01, atm)
+        atm = m_meteo.module_meteo(ctl, cache, clim, met01, atm, pack)
 
     # Boundary conditions (initial)
     bound_on = (ctl.bound_lat0 < ctl.bound_lat1

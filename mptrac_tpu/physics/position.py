@@ -10,7 +10,8 @@ from mptrac_tpu.ops.thermo import fmod
 from mptrac_tpu.types import Atm, Cache, Met
 
 
-def module_position(cache: Cache, met01: Met, atm: Atm) -> Atm:
+def module_position(cache: Cache, met01: Met, atm: Atm,
+                    sfc=None) -> Atm:
     active = (cache.dt != 0.0) & atm.mask
     lon, lat, p = atm.lon, atm.lat, atm.p
 
@@ -39,7 +40,12 @@ def module_position(cache: Cache, met01: Met, atm: Atm) -> Atm:
     ptop = ps_grid[-1]
     p2 = jnp.where(p < ptop, ptop * ptop / p, p)
     loc = interp.locate_3d(met01, lon2, lat2, p2)
-    ps = interp.interp_time_2d(met01, "ps", atm.time, loc)
+    if sfc is not None:
+        from mptrac_tpu.ops.fast_interp import interp_sfc_packed
+        ps = interp_sfc_packed(met01, sfc, ("ps",), atm.time,
+                               loc)["ps"]
+    else:
+        ps = interp.interp_time_2d(met01, "ps", atm.time, loc)
     need_ps = p2 > 300.0
     p2 = jnp.where(need_ps & (p2 > ps), ps * ps / p2, p2)
 

@@ -172,7 +172,7 @@ _register(Met, ["time", "lon", "lat", "p", "hybrid", "fields2d", "fields3d"],
 
 
 def astype_state(atm: "Atm" = None, cache: "Cache" = None,
-                 met: "Met" = None, dtype=jnp.float32):
+                 met: "Met" = None, clim=None, dtype=jnp.float32):
     """Cast model state to a compute precision (framework extension;
     the reference is double-only).
 
@@ -200,6 +200,11 @@ def astype_state(atm: "Atm" = None, cache: "Cache" = None,
         out.append(dataclasses.replace(
             met, lon=met.lon.astype(dtype), lat=met.lat.astype(dtype),
             p=met.p.astype(dtype), hybrid=met.hybrid.astype(dtype)))
+    if clim is not None:
+        out.append(jax.tree.map(
+            lambda a: a.astype(dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float64 else a,
+            clim))
     return out[0] if len(out) == 1 else tuple(out)
 
 
