@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mptrac_tpu.config import Ctl
-from mptrac_tpu.types import Met
+from mptrac_tpu.types import Met, _axis_is_arithmetic
 
 
 def interp_columns_at(field3, lon, lat, p, ptarget, coord_type=0):
@@ -121,4 +121,6 @@ def _to_met(ctl: Ctl, raw, lon, lat, p, f2, f3) -> Met:
         fields3d={k: jnp.asarray(v, jnp.float32) for k, v in f3.items()},
         coord_type=ctl.met_coord_type,
         npl_ml=raw["npl_ml"],
+        reg_lon=_axis_is_arithmetic(lon),
+        reg_lat=_axis_is_arithmetic(lat),
     )

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mptrac_tpu.constants import H0, MA, MH2O, MO3, P0
-from mptrac_tpu.types import MET_2D_FIELDS, MET_3D_FIELDS, Met
+from mptrac_tpu.types import (MET_2D_FIELDS, MET_3D_FIELDS, Met,
+                              _axis_is_arithmetic)
 
 _D2R = math.pi / 180.0
 
@@ -96,7 +97,9 @@ def make_wind_met(t0: float = 0.0, nx: int = 360, ny: int = 181,
         lat=jnp.asarray(lat, jnp.float64),
         p=jnp.asarray(p, jnp.float64),
         hybrid=jnp.zeros(nz, jnp.float64),
-        fields2d=f2, fields3d=f3, coord_type=0, npl_ml=0)
+        fields2d=f2, fields3d=f3, coord_type=0, npl_ml=0,
+        reg_lon=_axis_is_arithmetic(lon),
+        reg_lat=_axis_is_arithmetic(lat))
 
 
 def solid_body_solution(lon0, lat0, u0, t, alpha: float = 0.0):

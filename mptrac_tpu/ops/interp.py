@@ -135,12 +135,23 @@ def locate_3d(met: Met, lon, lat, p) -> Locator:
     ix = locate_reg(lons, lon2)
     iy = locate_irr(lats, lat2)
     p0, p1 = take_small(ps, iz), take_small(ps, iz + 1)
-    x0, x1 = take_small(lons, ix), take_small(lons, ix + 1)
-    y0, y1 = take_small(lats, iy), take_small(lats, iy + 1)
+    x0, x1 = _axis_vals(lons, ix, getattr(met, "reg_lon", False))
+    y0, y1 = _axis_vals(lats, iy, getattr(met, "reg_lat", False))
     wz = (p1 - p) / (p1 - p0)
     wx = (x1 - lon2) / (x1 - x0)
     wy = (y1 - lat2) / (y1 - y0)
     return Locator(ix=ix, iy=iy, iz=iz, wx=wx, wy=wy, wz=wz)
+
+
+def _axis_vals(xx, i, regular: bool):
+    """(xx[i], xx[i+1]) — arithmetic when the axis is statically known
+    to be exactly arithmetic (bit-identical to the lookup), else a
+    gather-free masked reduce."""
+    if regular:
+        d = xx[1] - xx[0]
+        v0 = xx[0] + i * d
+        return v0, v0 + d
+    return take_small(xx, i), take_small(xx, i + 1)
 
 
 def _grid_axes(met: Met):
@@ -278,8 +289,8 @@ def interp_4d_zeta(met01: Met, heights_name: str, array_name: str, ts,
     iy = locate_irr(lats, lat2)
     wt1 = ((ts - met01.time[0])
            / (met01.time[1] - met01.time[0]))  # weight of snapshot 1
-    x0, x1 = take_small(lons, ix), take_small(lons, ix + 1)
-    y0, y1 = take_small(lats, iy), take_small(lats, iy + 1)
+    x0, x1 = _axis_vals(lons, ix, getattr(met01, "reg_lon", False))
+    y0, y1 = _axis_vals(lats, iy, getattr(met01, "reg_lat", False))
     wx1 = (lon2 - x0) / (x1 - x0)
     wy1 = (lat2 - y0) / (y1 - y0)
 

@@ -144,6 +144,11 @@ class Met:
     fields3d: Dict[str, jnp.ndarray]  # each [nx, ny, npl]
     coord_type: int = 0               # static
     npl_ml: int = 0                   # static: number of model levels
+    #: static: axis is EXACTLY arithmetic (xx[i] == xx[0] + i*dx,
+    #: verified bitwise host-side) — enables gather-free index/weight
+    #: arithmetic in the interpolation core with identical results
+    reg_lon: bool = False
+    reg_lat: bool = False
 
     @property
     def nx(self) -> int:
@@ -168,7 +173,23 @@ class Met:
 
 
 _register(Met, ["time", "lon", "lat", "p", "hybrid", "fields2d", "fields3d"],
-          ["coord_type", "npl_ml"])
+          ["coord_type", "npl_ml", "reg_lon", "reg_lat"])
+
+
+def _axis_is_arithmetic(xx) -> bool:
+    import numpy as np
+    xx = np.asarray(xx)
+    if xx.ndim != 1 or xx.size < 2:
+        return False
+    d = xx[1] - xx[0]
+    return bool(np.all(xx == xx[0] + np.arange(xx.size) * d))
+
+
+def detect_regular_axes(met: "Met") -> "Met":
+    """Set the static reg_lon/reg_lat flags by exact host-side
+    verification (call outside jit, once per met read)."""
+    return met.replace(reg_lon=_axis_is_arithmetic(met.lon),
+                       reg_lat=_axis_is_arithmetic(met.lat))
 
 
 def astype_state(atm: "Atm" = None, cache: "Cache" = None,
