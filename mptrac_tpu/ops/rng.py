@@ -26,12 +26,15 @@ SQUARES_KEY = 0xC8E4FD154CE32F6D
 _TWO64 = 18446744073709551616.0  # (double)UINT64_MAX rounds to 2^64
 
 
-def _tpu_backend() -> bool:
-    """True on backends without practical u64 support (TPU / axon)."""
+def _use_limbs() -> bool:
+    """True on backends without practical u64 multiply (TPU / axon):
+    XLA:TPU has no native 64-bit integer multiply, so the Squares chain
+    runs on 32-bit limb arithmetic there (bit-identical by
+    construction; asserted by test_rng)."""
     import os
 
-    if os.environ.get("MPTRAC_FORCE_SQUARES"):
-        return False
+    if os.environ.get("MPTRAC_SQUARES_LIMBS"):
+        return True
     try:
         return jax.default_backend() not in ("cpu", "gpu", "cuda",
                                              "rocm")
@@ -39,10 +42,66 @@ def _tpu_backend() -> bool:
         return False
 
 
-def squares_uniform(ctr, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Generate ``n + 1`` uniform doubles in [0, 1) and the advanced
-    counter (reference c:5598-5630: the loop runs ``i <= n`` and the
-    counter advances by ``n + 1``)."""
+def _mul32(a, b):
+    """Full 32x32 -> 64 unsigned product as (hi, lo) u32 limbs, built
+    from 16-bit partial products (every partial fits u32 exactly)."""
+    m = jnp.uint32(0xFFFF)
+    s16 = jnp.uint32(16)
+    a0, a1 = a & m, a >> s16
+    b0, b1 = b & m, b >> s16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    t = (ll >> s16) + (lh & m) + (hl & m)
+    lo = (ll & m) | (t << s16)
+    hi = hh + (lh >> s16) + (hl >> s16) + (t >> s16)
+    return hi, lo
+
+
+def _mul64(ah, al, bh, bl):
+    """Low 64 bits of the u64 product, as (hi, lo) u32 limbs."""
+    hi, lo = _mul32(al, bl)
+    return hi + al * bh + ah * bl, lo
+
+
+def _add64(ah, al, bh, bl):
+    lo = al + bl
+    carry = (lo < bl).astype(jnp.uint32)
+    return ah + bh + carry, lo
+
+
+def _squares_bits_u32(ctr, n: int):
+    """Squares output bits for counters ctr..ctr+n as (hi, lo) u32
+    limb arrays — the TPU path (no u64 multiply on XLA:TPU)."""
+    kh = jnp.uint32(SQUARES_KEY >> 32)
+    kl = jnp.uint32(SQUARES_KEY & 0xFFFFFFFF)
+    ch = (ctr >> jnp.uint64(32)).astype(jnp.uint32)
+    cl = ctr.astype(jnp.uint32)
+    i = jnp.arange(n + 1, dtype=jnp.uint32)
+    nh, nl = _add64(ch, cl, jnp.uint32(0), i)          # ctr + i
+    xh, xl = _mul64(nh, nl, kh, kl)                    # * key
+    yh, yl = xh, xl
+    zh, zl = _add64(yh, yl, kh, kl)                    # y + key
+
+    def sqr_round(xh, xl, ah, al):
+        ph, plo = _mul64(xh, xl, xh, xl)
+        sh, sl = _add64(ph, plo, ah, al)
+        return sl, sh                                  # rot 32 = swap
+
+    xh, xl = sqr_round(xh, xl, yh, yl)
+    xh, xl = sqr_round(xh, xl, zh, zl)
+    xh, xl = sqr_round(xh, xl, yh, yl)
+    ph, plo = _mul64(xh, xl, xh, xl)
+    th, tl = _add64(ph, plo, zh, zl)                   # t = x*x + z
+    xh, xl = tl, th                                    # x = rot32(t)
+    qh, _ = _add64(*_mul64(xh, xl, xh, xl), yh, yl)    # (x*x + y) >> 32
+    return th, tl ^ qh                                 # r = t ^ ...
+
+
+def _squares_bits_u64(ctr, n: int):
+    """Squares output bits as (hi, lo) u32 — native u64 path (CPU/GPU,
+    bit-identical to _squares_bits_u32)."""
     key = jnp.uint64(SQUARES_KEY)
     i = jnp.arange(n + 1, dtype=jnp.uint64)
     x = (ctr + i) * key
@@ -59,11 +118,32 @@ def squares_uniform(ctr, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     t = x * x + z
     x = (t >> jnp.uint64(32)) | (t << jnp.uint64(32))
     r = t ^ ((x * x + y) >> jnp.uint64(32))
+    hi = (r >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (r & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    return hi, lo
+
+
+def squares_bits(ctr, n: int):
+    """Raw Squares bits for counters ctr..ctr+n as (hi, lo) u32 limb
+    arrays; identical on every backend (reference c:5598-5630)."""
+    if _use_limbs():
+        return _squares_bits_u32(ctr, n)
+    return _squares_bits_u64(ctr, n)
+
+
+def squares_uniform(ctr, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Generate ``n + 1`` uniform doubles in [0, 1) and the advanced
+    counter (reference c:5598-5630: the loop runs ``i <= n`` and the
+    counter advances by ``n + 1``)."""
+    hi32, lo32 = squares_bits(ctr, n)
     # Correctly-rounded uint64 -> double (XLA's direct cast can round
     # differently from C): hi*2^32 is exact, the sum rounds to nearest.
-    hi = (r >> jnp.uint64(32)).astype(jnp.float64)
-    lo = (r & jnp.uint64(0xFFFFFFFF)).astype(jnp.float64)
-    u = (hi * 4294967296.0 + lo) / _TWO64
+    # Scale by multiplying with the exact power of two 2^-64 rather
+    # than dividing by 2^64: identical bits by IEEE-754, but exact on
+    # TPU's emulated f64 where division rounds off-by-one-ulp.
+    hi = hi32.astype(jnp.float64)
+    lo = lo32.astype(jnp.float64)
+    u = (hi * 4294967296.0 + lo) * (0.5 ** 64)
     return u, ctr + jnp.uint64(n + 1)
 
 
@@ -94,15 +174,11 @@ def module_rng(ctl_rng_type: int, ctr, n: int, method: int,
     GSL per-thread stream, has no portable bitstream; Squares is used
     for determinism), 2 -> jax.random threefry.
 
-    On TPU backends, types 0/1 fall back to threefry: XLA:TPU has no
-    native 64-bit integer multiply and the Squares u64 chain does not
-    compile in practical time.  This mirrors the reference, whose RNG
-    streams are also backend-dependent (GSL on CPU vs cuRAND on GPU,
-    c:5535-5671); the counter advance is kept identical so
-    checkpoints stay portable.  Set MPTRAC_FORCE_SQUARES=1 to override.
+    Squares runs on every backend: native u64 on CPU/GPU, 32-bit limb
+    arithmetic on TPU (XLA:TPU has no 64-bit multiply) — bit-identical
+    streams either way, which is what makes reference gpu_test-style
+    cross-backend determinism possible (tests/gpu_test/run.sh:20-60).
     """
-    if ctl_rng_type in (0, 1) and _tpu_backend():
-        ctl_rng_type = 2
     if ctl_rng_type in (0, 1):
         if method == 0:
             u, ctr = squares_uniform(ctr, n)
