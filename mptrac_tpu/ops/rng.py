@@ -165,6 +165,33 @@ def squares_normal(ctr, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return out, ctr
 
 
+def squares_uniform_f32(ctr, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """float32 uniforms from the same Squares bit stream (fp32 compute
+    mode): the top 24 bits of each 64-bit draw, scaled by 2^-24.  Same
+    counter advance as squares_uniform, so stream positions stay
+    aligned with the f64 parity path; values are the f64 path's
+    round-to-24-bit truncations.  Avoids all f64 arithmetic — on TPU
+    f64 is emulated and ~10x the cost (and memory) of f32."""
+    hi32, _ = squares_bits(ctr, n)
+    u = (hi32 >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(0.5 ** 24)
+    return u, ctr + jnp.uint64(n + 1)
+
+
+def squares_normal_f32(ctr, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """float32 Box-Muller normals over the f32 uniform stream (fp32
+    compute mode; same pairing as squares_normal)."""
+    u, ctr = squares_uniform_f32(ctr, n)
+    m = (n + 1) // 2
+    evens = jnp.maximum(u[0:n:2], jnp.float32(0.5 ** 25))
+    odds = u[1:n + 1:2]
+    r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(evens))
+    phi = jnp.float32(2.0 * 3.141592653589793) * odds
+    out_e = r * jnp.cos(phi)
+    out_o = r * jnp.sin(phi)
+    out = jnp.stack([out_e[:m], out_o[:m]], axis=1).reshape(-1)[:n]
+    return out, ctr
+
+
 def module_rng(ctl_rng_type: int, ctr, n: int, method: int,
                key=None, dtype=jnp.float64
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -180,6 +207,13 @@ def module_rng(ctl_rng_type: int, ctr, n: int, method: int,
     cross-backend determinism possible (tests/gpu_test/run.sh:20-60).
     """
     if ctl_rng_type in (0, 1):
+        if dtype == jnp.float32:
+            # fp32 compute mode: same Squares bit stream and counter
+            # advance, f32 arithmetic end-to-end (no emulated f64)
+            if method == 0:
+                u, ctr = squares_uniform_f32(ctr, n)
+                return u[:n], ctr
+            return squares_normal_f32(ctr, n)
         if method == 0:
             u, ctr = squares_uniform(ctr, n)
             return u[:n].astype(dtype), ctr
