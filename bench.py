@@ -69,6 +69,16 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the pipeline graph is large (cold
+    # compiles ran ~9 min); warm runs reload the XLA executable.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/jax_mptrac"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     if args.dd:
@@ -77,8 +87,16 @@ def main():
     import __graft_entry__ as g
     from mptrac_tpu.physics import pipeline
 
+    def phase(msg, _t=[time.time()]):
+        now = time.time()
+        print(f"[bench +{now - _t[0]:7.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+        _t[0] = now
+
+    phase("imports done")
     ctl, clim, met01, atm, cache = g._make_setup(
         args.n_parcels, nx=args.nx, ny=args.ny, nz=args.nz)
+    phase("setup built")
     if args.fp32:
         from mptrac_tpu.types import astype_state
         atm, cache, met01, clim = astype_state(atm, cache, met01, clim)
@@ -96,6 +114,7 @@ def main():
         else:
             pack = jax.jit(build_met_pack)(met01)
         jax.block_until_ready(pack)
+        phase("met pack built")
 
     def fetch(a, c):
         # Force full execution: block_until_ready alone does not drain
@@ -116,12 +135,17 @@ def main():
 
         a, c = step_block(atm, cache, 0)
         fetch(a, c)
+        phase("compile + warmup (scan path)")
         nblocks = max(1, args.steps // k)
-        t0 = time.time()
+        block_t = []
         for b in range(nblocks):
+            tb = time.time()
             a, c = step_block(a, c, (b + 1) * k)
-        fetch(a, c)
-        dt = time.time() - t0
+            fetch(a, c)
+            block_t.append(time.time() - tb)
+        dt = sum(block_t)
+        phase(f"timed {nblocks} blocks x {k} steps: "
+              + " ".join(f"{x:.2f}s" for x in block_t))
         rate = args.n_parcels * nblocks * k / dt
     else:
         step = jax.jit(

@@ -270,6 +270,13 @@ class StationWriter:
         d2 = np.sum((x1 - self.x0) ** 2, axis=-1)
         ok &= d2 <= self.rmax2
         hit = np.nonzero(ok)[0]
+        if "stat" in q and hit.size:
+            # The reference sets the station flag BEFORE printing the
+            # row (c:14629-14637), so written rows show stat = 1.
+            q = dict(q)
+            stat = np.asarray(q["stat"]).copy()
+            stat[hit] = 1
+            q["stat"] = stat
         for ip in hit:
             self.out.write("%.2f %g %g %g" % (time[ip], _z(p[ip]),
                                               lon[ip], lat[ip]))
@@ -281,9 +288,7 @@ class StationWriter:
         if "stat" in q and hit.size:
             # set station flags on device state
             import jax.numpy as jnp
-            stat = np.asarray(atm.q["stat"]).copy()
-            stat[hit] = 1
-            atm.q["stat"] = jnp.asarray(stat)
+            atm.q["stat"] = jnp.asarray(q["stat"])
 
     def close(self):
         self.out.close()

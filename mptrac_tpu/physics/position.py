@@ -35,17 +35,24 @@ def module_position(cache: Cache, met01: Met, atm: Atm,
         glat = met01.lat[0] if met01.lat.ndim == 2 else met01.lat
         lon2, lat2 = interp.check_cartesian(glon, glat, lon, lat)
 
-    # Pressure reflection at model top and surface (c:5464-5473)
+    # Pressure reflection at model top and surface (c:5464-5473).
+    # Reference quirk, reproduced exactly: the surface-pressure lookup
+    # is INTPOL_2D(ps, 0) over the freshly-zeroed INTPOL_INIT indices
+    # (c:5433, 5468) — with ci = {0,0,0} and cw = {0,0,0,0} the
+    # "interpolation" collapses to array[1][1], i.e. the reference
+    # reflects every parcel at the surface pressure of grid cell
+    # (1, 1), time-interpolated between the snapshots (not at the
+    # parcel's own column).  Cheaper than a gather, and bit-compatible
+    # with reference trajectories.
     ps_grid = met01.p[0] if met01.p.ndim == 2 else met01.p
     ptop = ps_grid[-1]
     p2 = jnp.where(p < ptop, ptop * ptop / p, p)
-    loc = interp.locate_3d(met01, lon2, lat2, p2)
-    if sfc is not None:
-        from mptrac_tpu.ops.fast_interp import interp_sfc_packed
-        ps = interp_sfc_packed(met01, sfc, ("ps",), atm.time,
-                               loc)["ps"]
-    else:
-        ps = interp.interp_time_2d(met01, "ps", atm.time, loc)
+    ps2d = met01.fields2d["ps"]
+    dtype = p2.dtype
+    wt = interp.time_weight(met01, atm.time).astype(dtype)
+    ps0 = ps2d[0, 1, 1].astype(dtype)
+    ps1 = ps2d[1, 1, 1].astype(dtype)
+    ps = wt * (ps0 - ps1) + ps1
     need_ps = p2 > 300.0
     p2 = jnp.where(need_ps & (p2 > ps), ps * ps / p2, p2)
 
