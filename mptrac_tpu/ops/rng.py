@@ -192,6 +192,99 @@ def squares_normal_f32(ctr, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return out, ctr
 
 
+def squares_normal3_f32(ctr, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Three component-major float32 normal streams from the Squares
+    counter (fp32 compute mode).
+
+    The reference stream (squares_normal) interleaves Box–Muller pairs
+    into one flat array that consumers reshape to [n, 3]; on TPU every
+    one of those relayouts (stride-2 slice, [n, 2] stack, [n, 3]
+    reshape) costs far more than the bit chain itself (measured ~47 ms
+    of a 50 ms 6M-draw call on v5e — the lane dimension is shuffled
+    three times).  The fp32 fast path is *not* value-compatible with
+    the f64 reference stream anyway (f32 physics diverges from the
+    C double path within a step), so fp32 mode instead assigns each
+    (component c, parcel p) one 64-bit Squares draw at counter
+    ``ctr + c*n + p`` and derives both Box–Muller uniforms from it
+    (radius from the high 24 bits, phase from the low 24 — all 64
+    Squares output bits pass PractRand, Widynski 2022).  Everything is
+    contiguous: no relayout at any point, and consumers index rows of
+    the [3, n] result.  Counter advance stays 3n + 1 like the
+    reference (c:5598-5630), so checkpoints interoperate with the
+    parity path.
+
+    Deterministic and bit-identical across backends (same integer
+    chain as squares_bits); only transcendental rounding may differ by
+    ulps between CPU and TPU libm implementations.
+    """
+    base = jnp.arange(n, dtype=jnp.uint32)
+    out = []
+    for c in range(3):
+        ch = (ctr >> jnp.uint64(32)).astype(jnp.uint32)
+        cl = ctr.astype(jnp.uint32)
+        # counter + c*n + p  (u64 add in limbs; c*n fits u32 here)
+        off_l = base + jnp.uint32(c * n)
+        carry0 = (off_l < base).astype(jnp.uint32)
+        nh, nl = _add64(ch + carry0, cl, jnp.uint32(0), off_l)
+        hi, lo = _squares_core(nh, nl)
+        u_r = jnp.maximum((hi >> jnp.uint32(8)).astype(jnp.float32)
+                          * jnp.float32(0.5 ** 24),
+                          jnp.float32(0.5 ** 25))
+        u_phi = (lo >> jnp.uint32(8)).astype(jnp.float32) \
+            * jnp.float32(0.5 ** 24)
+        r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u_r))
+        out.append(r * jnp.cos(jnp.float32(2.0 * 3.141592653589793)
+                               * u_phi))
+    return jnp.stack(out), ctr + jnp.uint64(3 * n + 1)
+
+
+def _squares_core(nh, nl):
+    """Squares rounds over an already-formed counter value given as
+    (hi, lo) u32 limbs; returns the 64 output bits as (hi, lo)."""
+    kh = jnp.uint32(SQUARES_KEY >> 32)
+    kl = jnp.uint32(SQUARES_KEY & 0xFFFFFFFF)
+    xh, xl = _mul64(nh, nl, kh, kl)
+    yh, yl = xh, xl
+    zh, zl = _add64(yh, yl, kh, kl)
+
+    def sqr_round(xh, xl, ah, al):
+        ph, plo = _mul64(xh, xl, xh, xl)
+        sh, sl = _add64(ph, plo, ah, al)
+        return sl, sh
+
+    xh, xl = sqr_round(xh, xl, yh, yl)
+    xh, xl = sqr_round(xh, xl, zh, zl)
+    xh, xl = sqr_round(xh, xl, yh, yl)
+    ph, plo = _mul64(xh, xl, xh, xl)
+    th, tl = _add64(ph, plo, zh, zl)
+    xh, xl = tl, th
+    qh, _ = _add64(*_mul64(xh, xl, xh, xl), yh, yl)
+    return th, tl ^ qh
+
+
+def module_rng3(ctl_rng_type: int, ctr, n: int, dtype=jnp.float64,
+                key=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Draw 3 standard normals per parcel as a component-major [3, n]
+    array (the layout every consumer wants: diffusion/pbl use
+    rs[0], rs[1], rs[2] directly, no [n, 3] relayout).
+
+    f64 (parity mode) reproduces the reference's exact interleaved
+    stream (module_rng method 1, c:5632-5648) and transposes —
+    correctness over speed.  f32 uses the contiguous fast formulation
+    (squares_normal3_f32).  rng_type 2 is threefry."""
+    if ctl_rng_type in (0, 1):
+        if dtype == jnp.float32:
+            return jax.lax.optimization_barrier(
+                squares_normal3_f32(ctr, n))
+        rs, ctr = squares_normal(ctr, 3 * n)
+        return jax.lax.optimization_barrier(
+            (rs.astype(dtype).reshape(n, 3).T, ctr))
+    k = jax.random.fold_in(jax.random.PRNGKey(0) if key is None else key,
+                           ctr.astype(jnp.uint32))
+    return (jax.random.normal(k, (3, n), dtype),
+            ctr + jnp.uint64(3 * n + 1))
+
+
 def module_rng(ctl_rng_type: int, ctr, n: int, method: int,
                key=None, dtype=jnp.float64
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:

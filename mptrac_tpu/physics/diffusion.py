@@ -16,7 +16,7 @@ from mptrac_tpu.climatology import clim_tropo
 from mptrac_tpu.config import Ctl
 from mptrac_tpu.constants import H0
 from mptrac_tpu.ops import interp
-from mptrac_tpu.ops.rng import module_rng
+from mptrac_tpu.ops.rng import module_rng3
 from mptrac_tpu.ops.thermo import dx2coord, dy2coord, dz2dp
 from mptrac_tpu.types import Atm, Cache, Clim, Met
 
@@ -48,9 +48,8 @@ def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
     """Langevin random-walk diffusion with well-mixed vertical drift
     correction (reference c:4580-4730)."""
     n = atm.npmax
-    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1,
-                         dtype=atm.lon.dtype)
-    rs = rs.reshape(n, 3)
+    rs, ctr = module_rng3(ctl.rng_type, cache.rng_ctr, n,
+                          dtype=atm.lon.dtype)
     cache = cache.replace(rng_ctr=ctr)
 
     dt = cache.dt
@@ -91,9 +90,9 @@ def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
     cart = met01.coord_type != 0
     sigma_h = jnp.sqrt(2.0 * jnp.maximum(kx, 0.0) * dt_abs)
     do_h = active & (kx > 0)
-    lon = jnp.where(do_h, atm.lon + dx2coord(rs[:, 0] * sigma_h, atm.lat,
+    lon = jnp.where(do_h, atm.lon + dx2coord(rs[0] * sigma_h, atm.lat,
                                              cart), atm.lon)
-    lat = jnp.where(do_h, atm.lat + dy2coord(rs[:, 1] * sigma_h, cart),
+    lat = jnp.where(do_h, atm.lat + dy2coord(rs[1] * sigma_h, cart),
                     atm.lat)
 
     # Vertical displacement with drift correction (c:4643-4726)
@@ -105,7 +104,7 @@ def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
     kz_dn, _, _, _ = kz_at(p_dn)
     dkz_dz = (kz_up - kz_dn) / (2.0 * eps_km * 1e3)
     w_drift = dkz_dz + kz * (-1.0 / (1e3 * H0))
-    dz_tot = rs[:, 2] * sigma_z + w_drift * dt_abs * 1e-3
+    dz_tot = rs[2] * sigma_z + w_drift * dt_abs * 1e-3
     ptrial = atm.p + dz2dp(dz_tot, atm.p)
     for _ in range(10):
         ptrial = jnp.where(ptrial > ps, ps * ps / ptrial, ptrial)
@@ -126,9 +125,8 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
     float32 in the reference's summation order for cross-checking.
     """
     n = atm.npmax
-    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1,
-                         dtype=atm.lon.dtype)
-    rs = rs.reshape(n, 3)
+    rs, ctr = module_rng3(ctl.rng_type, cache.rng_ctr, n,
+                          dtype=atm.lon.dtype)
     cache = cache.replace(rng_ctr=ctr)
 
     dt = cache.dt
@@ -227,9 +225,9 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
     uvwp = cache.uvwp
     lon, lat, p = atm.lon, atm.lat, atm.p
     if ctl.turb_mesox > 0:
-        u_new = (r * uvwp[0] + r2 * rs[:, 0] * ctl.turb_mesox
+        u_new = (r * uvwp[0] + r2 * rs[0] * ctl.turb_mesox
                  * usig).astype(jnp.float32)
-        v_new = (r * uvwp[1] + r2 * rs[:, 1] * ctl.turb_mesox
+        v_new = (r * uvwp[1] + r2 * rs[1] * ctl.turb_mesox
                  * vsig).astype(jnp.float32)
         u_new = jnp.where(active, u_new, uvwp[0])
         v_new = jnp.where(active, v_new, uvwp[1])
@@ -242,7 +240,7 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
     else:
         u_new, v_new = uvwp[0], uvwp[1]
     if ctl.turb_mesoz > 0:
-        w_new = (r * uvwp[2] + r2 * rs[:, 2] * ctl.turb_mesoz
+        w_new = (r * uvwp[2] + r2 * rs[2] * ctl.turb_mesoz
                  * wsig).astype(jnp.float32)
         w_new = jnp.where(active, w_new, uvwp[2])
         p = jnp.where(active, p + w_new.astype(p.dtype) * dt, p)

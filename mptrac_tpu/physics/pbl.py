@@ -15,16 +15,15 @@ import jax.numpy as jnp
 from mptrac_tpu.config import Ctl
 from mptrac_tpu.constants import CPD, G0, H0, KARMAN, P0
 from mptrac_tpu.ops import interp, thermo
-from mptrac_tpu.ops.rng import module_rng
+from mptrac_tpu.ops.rng import module_rng3
 from mptrac_tpu.ops.thermo import dx2coord, dy2coord
 from mptrac_tpu.types import Atm, Cache, Met
 
 
 def module_diff_pbl(ctl: Ctl, cache: Cache, met01: Met, atm: Atm):
     n = atm.npmax
-    rs, ctr = module_rng(ctl.rng_type, cache.rng_ctr, 3 * n, 1,
-                         dtype=atm.lon.dtype)
-    rs = rs.reshape(n, 3)
+    rs, ctr = module_rng3(ctl.rng_type, cache.rng_ctr, n,
+                          dtype=atm.lon.dtype)
     cache = cache.replace(rng_ctr=ctr)
 
     dt = cache.dt
@@ -163,10 +162,10 @@ def module_diff_pbl(ctl: Ctl, cache: Cache, met01: Met, atm: Atm):
     vp = cache.uvwp[1].astype(atm.lon.dtype)
     wp = cache.uvwp[2].astype(atm.lon.dtype)
 
-    up_new = (up * ru + sig_u * ru2 * rs[:, 0]).astype(jnp.float32)
-    vp_new = (vp * rv + sig_v * rv2 * rs[:, 1]).astype(jnp.float32)
+    up_new = (up * ru + sig_u * ru2 * rs[0]).astype(jnp.float32)
+    vp_new = (vp * rv + sig_v * rv2 * rs[1]).astype(jnp.float32)
     rhoaux = -1.0 / (1e3 * H0)
-    wp_new = (wp * rw + sig_w * rw2 * rs[:, 2]
+    wp_new = (wp * rw + sig_w * rw2 * rs[2]
               + tau_w * (1.0 - rw)
               * (2.0 * sig_w * dsigw_dz + rhoaux * sig_w * sig_w)
               ).astype(jnp.float32)

@@ -21,14 +21,25 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_mptrac"))
 
 
+def _fetch(out):
+    """Force full execution: on remote-attached TPU backends
+    block_until_ready does not drain the pipeline — a small host
+    transfer does."""
+    import jax
+    import jax.numpy as jnp
+    leaves = [x for x in jax.tree.leaves(out)
+              if hasattr(x, "dtype")]
+    return float(sum(jnp.ravel(x)[0].astype(jnp.float32)
+                     for x in leaves[:4]))
+
+
 def timeit(fn, *args, n=10, **kw):
     out = fn(*args, **kw)
-    import jax
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / n * 1e3  # ms
 
 
