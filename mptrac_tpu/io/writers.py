@@ -81,6 +81,69 @@ class GridWriter:
         if ctl.grid_kernel != "-":
             self.kz, self.kw = read_kernel(ctl.grid_kernel)
 
+    def _bin_device(self, atm: Atm, t: float):
+        """Parcel-to-grid binning as one on-device segment-sum pass
+        (replaces host bincount — unusable at 100M parcels; the host
+        only formats the [nx*ny*nz] results)."""
+        import jax
+        import jax.numpy as jnp
+        ctl = self.ctl
+        nx, ny, nz = ctl.grid_nx, ctl.grid_ny, ctl.grid_nz
+        ngrid = nx * ny * nz
+        dz = (ctl.grid_z1 - ctl.grid_z0) / nz
+        dlon = (ctl.grid_lon1 - ctl.grid_lon0) / nx
+        dlat = (ctl.grid_lat1 - ctl.grid_lat0) / ny
+        kz = (jnp.asarray(self.kz) if self.kz is not None
+              and len(self.kz) >= 2 else None)
+        kw = jnp.asarray(self.kw) if kz is not None else None
+
+        @jax.jit
+        def bin_all(time, p, lon, lat, mask, qs, t):
+            t0, t1 = t - 0.5 * ctl.dt_mod, t + 0.5 * ctl.dt_mod
+            z = H0 * jnp.log(P0 / p)
+            ix = jnp.floor((lon - ctl.grid_lon0) / dlon).astype(
+                jnp.int32)
+            iy = jnp.floor((lat - ctl.grid_lat0) / dlat).astype(
+                jnp.int32)
+            iz = jnp.floor((z - ctl.grid_z0) / dz).astype(jnp.int32)
+            ok = (mask & (time >= t0) & (time <= t1)
+                  & (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+                  & (iz >= 0) & (iz < nz))
+            idx = jnp.where(ok, (ix * ny + iy) * nz + iz, ngrid)
+            kern = (jnp.interp(z, kz, kw) if kz is not None
+                    else jnp.ones_like(z))
+            one = jnp.where(ok, 1.0, 0.0)
+            cnt = jnp.zeros(ngrid + 1).at[idx].add(one)[:ngrid]
+            sums = {}
+            for name, qv in qs.items():
+                kq = kern * qv
+                s1 = jnp.zeros(ngrid + 1).at[idx].add(
+                    jnp.where(ok, kq, 0.0))[:ngrid]
+                s2 = jnp.zeros(ngrid + 1).at[idx].add(
+                    jnp.where(ok, kq * kq, 0.0))[:ngrid]
+                sums[name] = (s1, s2)
+            return cnt, sums
+
+        n = atm.npmax
+        cnt, sums = bin_all(atm.time[:n], atm.p[:n], atm.lon[:n],
+                            atm.lat[:n], atm.mask[:n],
+                            {k: v[:n] for k, v in atm.q.items()},
+                            jnp.asarray(t, atm.time.dtype))
+        cnt = np.asarray(cnt)
+        means, sigmas = {}, {}
+        for name in ctl.qnt_name:
+            s1 = np.asarray(sums[name][0], np.float64)
+            s2 = np.asarray(sums[name][1], np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = np.where(cnt > 0, s1 / np.maximum(cnt, 1),
+                                np.nan)
+                var = s2 / np.maximum(cnt, 1) - mean ** 2
+                sig = np.where(cnt > 0,
+                               np.sqrt(np.maximum(var, 0)), np.nan)
+            means[name] = (s1, mean)
+            sigmas[name] = sig
+        return cnt.astype(np.int64), means, sigmas
+
     def write(self, filename: str, metbuf, atm: Atm, t: float):
         ctl = self.ctl
         nx, ny, nz = ctl.grid_nx, ctl.grid_ny, ctl.grid_nz
@@ -93,37 +156,14 @@ class GridWriter:
         latc = ctl.grid_lat0 + dlat * (np.arange(ny) + 0.5)
         area = (dlat * dlon * (RE * np.pi / 180.0) ** 2
                 * np.cos(_D2R * latc))
-
-        time, p, lon, lat, q = _atm_arrays(ctl, atm)
-        t0, t1 = t - 0.5 * ctl.dt_mod, t + 0.5 * ctl.dt_mod
-        ix = ((lon - ctl.grid_lon0) / dlon).astype(int)
-        iy = ((lat - ctl.grid_lat0) / dlat).astype(int)
-        iz = ((_z(p) - ctl.grid_z0) / dz).astype(int)
-        ok = ((time >= t0) & (time <= t1) & (ix >= 0) & (ix < nx)
-              & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz))
-        idx = np.where(ok, (ix * ny + iy) * nz + iz, 0)
         ngrid = nx * ny * nz
 
-        kern = kernel_weight(self.kz, self.kw, p)
-        cnt = np.bincount(idx[ok], minlength=ngrid)
-        means, sigmas = {}, {}
-        for name in ctl.qnt_name:
-            kq = kern * q[name]
-            s1 = np.bincount(idx[ok], weights=kq[ok], minlength=ngrid)
-            s2 = np.bincount(idx[ok], weights=(kq * kq)[ok],
-                             minlength=ngrid)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                mean = np.where(cnt > 0, s1 / np.maximum(cnt, 1), np.nan)
-                var = s2 / np.maximum(cnt, 1) - mean ** 2
-                sig = np.where(cnt > 0, np.sqrt(np.maximum(var, 0)),
-                               np.nan)
-            means[name] = (s1, mean)
-            sigmas[name] = sig
+        cnt, means, sigmas = self._bin_device(atm, t)
 
         area3 = np.repeat(np.tile(area, nx), nz)
         cd = np.full(ngrid, np.nan)
         vmr_impl = np.full(ngrid, np.nan)
-        if "m" in q:
+        if "m" in ctl.qnt_name:
             msum = means["m"][0]
             cd = msum / (1e6 * area3)
             if ctl.molmass > 0 and metbuf is not None:
@@ -136,6 +176,11 @@ class GridWriter:
                     msum > 0,
                     MA / ctl.molmass * cd / (_rho(pressc[iz3], temp)
                                              * dz * 1e3), 0.0)
+
+        if ctl.grid_type == 1:
+            self._write_nc(filename, t, zc, lonc, latc, area, dz, cd,
+                           vmr_impl, cnt, means, sigmas)
+            return
 
         if ctl.grid_gpfile != "-":
             from mptrac_tpu.io.atm_io import _gnuplot_pipe, _PipeCtx
@@ -180,6 +225,59 @@ class GridWriter:
                                 out.write(" " + _fmt(ctl.qnt_format[iq],
                                                      sigmas[name][gi]))
                         out.write("\n")
+
+    def _write_nc(self, filename, t, zc, lonc, latc, area, dz, cd,
+                  vmr_impl, cnt, means, sigmas):
+        """netCDF grid variant (reference write_grid_nc,
+        c:13540-13663): dims (time, z, lat, lon), data transposed from
+        the internal (ix, iy, iz) order to (iz, iy, ix).  Written as
+        netCDF3 classic via scipy (the reference's GRID_NC_LEVEL
+        deflate applies to its netCDF4 backend only)."""
+        from scipy.io import netcdf_file
+        ctl = self.ctl
+        nx, ny, nz = ctl.grid_nx, ctl.grid_ny, ctl.grid_nz
+
+        def t3(a):
+            # (ix, iy, iz) flat -> [1, iz, iy, ix]
+            return np.ascontiguousarray(
+                np.asarray(a).reshape(nx, ny, nz).transpose(2, 1, 0)
+            )[None]
+
+        nc = netcdf_file(filename, "w")
+        nc.createDimension("time", 1)
+        nc.createDimension("z", nz)
+        nc.createDimension("lat", ny)
+        nc.createDimension("lon", nx)
+        nc.createDimension("dz", 1)
+
+        def defvar(name, dtype, dims, longname, unit, data):
+            v = nc.createVariable(name, dtype, dims)
+            v.long_name = longname
+            v.units = unit
+            v[:] = data
+            return v
+
+        defvar("time", "d", ("time",), "time",
+               "seconds since 2000-01-01 00:00:00 UTC", [t])
+        defvar("z", "d", ("z",), "altitude", "km", zc)
+        defvar("lat", "d", ("lat",), "latitude", "degrees_north", latc)
+        defvar("lon", "d", ("lon",), "longitude", "degrees_east", lonc)
+        defvar("dz", "d", ("dz",), "layer depth", "km", [dz])
+        defvar("area", "d", ("lat",), "surface area", "km**2", area)
+        dims4 = ("time", "z", "lat", "lon")
+        defvar("cd", "f", dims4, "column density", "kg m**-2", t3(cd))
+        defvar("vmr_impl", "f", dims4,
+               "volume mixing ratio (implicit)", "ppv", t3(vmr_impl))
+        defvar("np", "i", dims4, "number of particles", "1",
+               t3(cnt).astype(np.int32))
+        for iq, name in enumerate(ctl.qnt_name):
+            defvar(f"{name}_mean", "d", dims4, f"{name} (mean)",
+                   ctl.qnt_unit[iq], t3(means[name][1]))
+            if ctl.grid_stddev:
+                defvar(f"{name}_stddev", "d", dims4,
+                       f"{name} (stddev)", ctl.qnt_unit[iq],
+                       t3(sigmas[name]))
+        nc.close()
 
 
 class EnsWriter:

@@ -48,6 +48,37 @@ def test_grid_writer(tmp_path):
     assert two.shape[0] == 1 and two[0, 9] == pytest.approx(1.5)
 
 
+def test_grid_writer_nc(tmp_path):
+    """GRID_TYPE 1 netCDF variant (reference write_grid_nc,
+    c:13540-13663): same binning as ASCII, (time,z,lat,lon) layout."""
+    from scipy.io import netcdf_file
+
+    from mptrac_tpu.io.writers import GridWriter
+    ctl = read_ctl(None, [
+        "NQ", "1", "QNT_NAME[0]", "m", "METBASE", "-", "SPECIES", "SO2",
+        "GRID_BASENAME", "grid", "GRID_NX", "18", "GRID_NY", "9",
+        "GRID_NZ", "4", "GRID_TYPE", "1", "GRID_STDDEV", "1",
+        "T_STOP", "600"]).replace(t_start=0.0, t_stop=600.0)
+    atm = make_atm(ctl, [10.0, 10.5, -50.0], [40.0, 40.2, -30.0],
+                   [500.0, 510.0, 800.0])
+    atm.q["m"] = jnp.asarray([1.0, 2.0, 4.0])
+    fn = tmp_path / "grid.nc"
+    GridWriter(ctl).write(str(fn), None, atm, 0.0)
+    nc = netcdf_file(str(fn), "r")
+    assert nc.variables["np"].shape == (1, 4, 9, 18)
+    cnt = nc.variables["np"][:]
+    assert cnt.sum() == 3
+    mean = nc.variables["m_mean"][:]
+    assert np.nanmax(mean[cnt > 0]) > 0
+    # the 2-particle cell mean mass is 1.5 in (z,lat,lon) order
+    zi, yi, xi = [a[0] for a in np.where(cnt[0] == 2)]
+    assert mean[0, zi, yi, xi] == pytest.approx(1.5)
+    sig = nc.variables["m_stddev"][:]
+    assert sig[0, zi, yi, xi] == pytest.approx(0.5)
+    assert float(nc.variables["dz"][0]) > 0
+    nc.close()
+
+
 def test_station_writer(tmp_path):
     from mptrac_tpu.io.writers import StationWriter
     ctl = read_ctl(None, [
