@@ -253,6 +253,15 @@ class Ctl:
     met_nc_level: int = 0
     met_zstd_level: int = -3
     met_pck_zstd: int = 0
+    # lossy codec settings per 3-D met variable (reference METVAR
+    # order Z T U V W PV H2O O3 LWC RWC IWC SWC CC, c:969-983)
+    met_lossy_scale: tuple = (0,) * 13
+    met_sz3_prec: tuple = (11, 7, 7, 7, 13, 7, 18, 10, 13, 13, 13,
+                           13, 6)
+    met_sz3_tol: tuple = (0.0,) * 13
+    met_cms_eps: tuple = (0.01,) * 13
+    met_cms_zstd: int = 1
+    met_cms_maxlev: int = 6
     met_dx: int = 1
     met_dy: int = 1
     met_dp: int = 1
@@ -557,6 +566,22 @@ def read_ctl(filename: Optional[str], args: Sequence[str] = ()) -> Ctl:
     kw["met_nc_level"] = s.scan_int("MET_NC_LEVEL", -1, "0")
     kw["met_zstd_level"] = s.scan_int("MET_ZSTD_LEVEL", -1, "-3")
     kw["met_pck_zstd"] = s.scan_int("MET_PCK_ZSTD", -1, "0")
+    # lossy codec per-variable settings (reference c:6803-6875);
+    # defaults match the reference's per-variable SZ3 precision table
+    _sz3_defprec = ("11", "7", "7", "7", "13", "7", "18", "10", "13",
+                    "13", "13", "13", "6")
+    _defscale = s.scan_str("MET_LOSSY_SCALE", -1, "0")
+    kw["met_lossy_scale"] = tuple(
+        s.scan_int("MET_LOSSY_SCALE", i, _defscale) for i in range(13))
+    kw["met_sz3_prec"] = tuple(
+        s.scan_int("MET_SZ3_PREC", i, _sz3_defprec[i])
+        for i in range(13))
+    kw["met_sz3_tol"] = tuple(
+        s.scan_float("MET_SZ3_TOL", i, "0.0") for i in range(13))
+    kw["met_cms_eps"] = tuple(
+        s.scan_float("MET_CMS_EPS", i, "0.01") for i in range(13))
+    kw["met_cms_zstd"] = s.scan_int("MET_CMS_ZSTD", -1, "1")
+    kw["met_cms_maxlev"] = s.scan_int("MET_CMS_MAXLEV", -1, "6")
     kw["met_dx"] = s.scan_int("MET_DX", -1, "1")
     kw["met_dy"] = s.scan_int("MET_DY", -1, "1")
     kw["met_dp"] = s.scan_int("MET_DP", -1, "1")

@@ -7,9 +7,12 @@ compress_zstd (c:1624-1740).
 
 Supported met_type codecs: 1 = raw float, 2 = PCK (+MET_PCK_ZSTD outer
 zstd), 4 = ZSTD of the raw float stream, 8 = LZ4 raw blocks
-(compress_lz4 c:1740, native codec in native/lz4codec.cc).  Types 3
-(ZFP), 5 (cmultiscale) and 7 (SZ3) error out like a reference build
-compiled without those optional codecs (c:7881-7904).  Layout of 3-D
+(compress_lz4 c:1740, native codec in native/lz4codec.cc),
+5 = CMS-style multiscale and 7 = SZ3-style predict+quantize lossy
+codecs (met.lossy — the reference's external-library slots rebuilt as
+self-contained vectorized formats, compress_cms c:468 /
+compress_sz3 c:1261).  Type 3 (ZFP) errors out like a reference build
+compiled without that optional codec (c:7881-7904).  Layout of 3-D
 payloads is [ixy, iz] (level-fastest), matching the reference's ARRAY
 layout.
 """
@@ -27,7 +30,7 @@ from mptrac_tpu.types import MET_2D_FIELDS, MET_3D_FIELDS, Met
 PCK_ZSTD_MAGIC = 0x50434B5A53544431
 
 #: optional codecs absent from this build (reference c:7881-7904)
-_UNSUPPORTED = {3: "ZFP", 5: "cmultiscale", 7: "SZ3"}
+_UNSUPPORTED = {3: "ZFP"}
 
 
 def _check_codec(met_type: int) -> None:
@@ -100,8 +103,15 @@ def _pck_decompress(f, nxy: int, nz: int, use_zstd: bool) -> np.ndarray:
 
 def write_met_bin(filename: str, met: Met, met_type: int = 1,
                   pck_zstd: bool = False, zstd_level: int = -3,
-                  verbose: bool = False) -> None:
+                  verbose: bool = False, ctl=None) -> None:
+    """``ctl`` supplies the per-variable lossy codec settings for
+    met_type 5/7 (defaults used when omitted)."""
     _check_codec(met_type)
+    ctl_codec = ctl
+    if ctl_codec is None and met_type in (5, 7):
+        from mptrac_tpu.config import read_ctl
+        ctl_codec = read_ctl(None, ["MET_TYPE", str(met_type),
+                                    "METBASE", "-"])
     nx, ny, npl = met.nx, met.ny, met.npl
     with open(filename, "wb") as f:
         f.write(struct.pack("<ii", met_type, 104))
@@ -136,6 +146,20 @@ def write_met_bin(filename: str, met: Met, met_type: int = 1,
                 _log_codec(name, "LZ4", flat.size, len(comp), verbose)
                 f.write(struct.pack("<Q", len(comp)))
                 f.write(comp)
+            elif met_type == 7:
+                from mptrac_tpu.met import lossy
+                payload = lossy.sqz_compress(ctl_codec, name, flat,
+                                             nx, ny)
+                _log_codec(name, "SQZ", flat.size, len(payload),
+                           verbose)
+                f.write(payload)
+            elif met_type == 5:
+                from mptrac_tpu.met import lossy
+                payload = lossy.cms_compress(ctl_codec, name, flat,
+                                             nx, ny)
+                _log_codec(name, "CMS", flat.size, len(payload),
+                           verbose)
+                f.write(payload)
             else:
                 raise NotImplementedError(f"MET_TYPE {met_type}")
         f.write(struct.pack("<i", 999))
@@ -178,6 +202,12 @@ def read_met_bin(filename: str, ctl) -> Dict[str, object]:
                 clen, = struct.unpack("<Q", f.read(8))
                 raw = lz4.decompress(f.read(clen), 4 * nx * ny * npl)
                 flat = np.frombuffer(raw, "<f4").reshape(nx * ny, npl)
+            elif met_type == 7:
+                from mptrac_tpu.met import lossy
+                flat = lossy.sqz_decompress(f, nx, ny, npl)
+            elif met_type == 5:
+                from mptrac_tpu.met import lossy
+                flat = lossy.cms_decompress(f, nx, ny, npl)
             else:
                 raise NotImplementedError(f"MET_TYPE {met_type}")
             f3[name] = np.clip(flat.reshape(nx, ny, npl), lo, hi)

@@ -1,0 +1,299 @@
+"""Lossy met-field codecs: SZ3-style predict+quantize (met_type 7)
+and cms-style multiscale thresholding (met_type 5).
+
+The reference links external libraries for these slots (compress_sz3
+/root/reference/src/mptrac.c:1261-1457, compress_cms c:468-810); their
+byte streams are library-defined, so this framework implements the
+same *codec families* with self-contained vectorized formats:
+
+- **Type 7 (SQZ, SZ3-style)**: per-level error-bounded scalar
+  quantization (absolute tolerance MET_SZ3_TOL or relative precision
+  MET_SZ3_PREC bits of the per-level range), 2-D integer Lorenzo
+  prediction (exact in integer space, so the error bound survives),
+  entropy coding via ZSTD.  Guarantee: |x' - x| <= step per value.
+- **Type 5 (CMS, multiscale)**: per-level 2-D Haar multiscale
+  transform (MET_CMS_MAXLEV levels), coefficient deadzone
+  quantization at eps = MET_CMS_EPS x level range, ZSTD.
+
+Both honor the reference's per-level scale-to-unit machinery
+(compress_scale_to_unit c:811-850, compress_read/write_lossy_scale
+c:874-969, MET_LOSSY_SCALE[var]) with the same stream framing: an
+int32 enabled flag followed by off[nz] and scl[nz] doubles.
+
+Arrays are [nxy, nz] float32 level-fastest, like the bin container.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: reference METVAR name order (compress_metvar_index, c:969-983)
+METVAR_NAMES = ("z", "t", "u", "v", "w", "pv", "h2o", "o3",
+                "lwc", "rwc", "iwc", "swc", "cc")
+
+
+def metvar_index(name: str) -> int:
+    return METVAR_NAMES.index(name.lower())
+
+
+def scale_to_unit(arr: np.ndarray):
+    """Per-level [0, 1] rescale (reference compress_scale_to_unit,
+    c:811-850).  Returns (scaled, off[nz], scl[nz])."""
+    off = arr.min(axis=0).astype(np.float64)
+    vmax = arr.max(axis=0).astype(np.float64)
+    rng = vmax - off
+    ref = np.maximum(1.0, np.maximum(np.abs(off), np.abs(vmax)))
+    scl = np.where(rng > 1e-12 * ref, rng, 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(scl > 0, (arr - off) / np.where(scl > 0, scl, 1),
+                       0.0).astype(np.float32)
+    return out, off, scl
+
+
+def unscale_from_unit(arr: np.ndarray, off, scl) -> np.ndarray:
+    """Inverse (reference compress_unscale_from_unit, c:853-870)."""
+    return np.where(scl > 0, arr * scl + off, off).astype(np.float32)
+
+
+def _write_lossy_scale(f, enabled: bool, off=None, scl=None):
+    f.write(struct.pack("<i", 1 if enabled else 0))
+    if enabled:
+        f.write(np.asarray(off, "<f8").tobytes())
+        f.write(np.asarray(scl, "<f8").tobytes())
+
+
+def _read_lossy_scale(f, nz: int):
+    enabled, = struct.unpack("<i", f.read(4))
+    if enabled not in (0, 1):
+        raise ValueError("Invalid stored MET_LOSSY_SCALE flag!")
+    if enabled:
+        off = np.fromfile(f, "<f8", nz)
+        scl = np.fromfile(f, "<f8", nz)
+        return True, off, scl
+    return False, None, None
+
+
+def _zstd(data: bytes, level: int = 3) -> bytes:
+    import zstandard
+    return zstandard.ZstdCompressor(level=level).compress(data)
+
+
+def _unzstd(data: bytes, max_size: int) -> bytes:
+    import zstandard
+    return zstandard.ZstdDecompressor().decompress(
+        data, max_output_size=max_size)
+
+
+def _pack_ints(q: np.ndarray):
+    """Narrowest exact integer container for the quantized stream."""
+    amax = np.abs(q).max(initial=0)
+    for code, dt in ((0, np.int8), (1, np.int16), (2, np.int32)):
+        if amax <= np.iinfo(dt).max:
+            return code, q.astype("<" + np.dtype(dt).str[1:])
+    return 3, q.astype("<i8")
+
+
+_INT_DT = {0: "<i1", 1: "<i2", 2: "<i4", 3: "<i8"}
+
+
+# ---------------------------------------------------------------- SQZ
+
+def sqz_compress(ctl, name: str, arr: np.ndarray, nx: int, ny: int
+                 ) -> bytes:
+    """SZ3-style stream for one 3-D variable; arr [nxy, nz] f32."""
+    mv = metvar_index(name)
+    prec = ctl.met_sz3_prec[mv]
+    tol = ctl.met_sz3_tol[mv]
+    if (prec > 0) == (tol > 0.0):
+        raise ValueError(
+            "Exactly one of precision or tolerance must be set for "
+            "SZ3!")
+    nxy, nz = arr.shape
+    out = bytearray()
+    use_scale = bool(ctl.met_lossy_scale[mv])
+    if use_scale:
+        arr, off, scl = scale_to_unit(arr)
+    # quantize the per-level-offset value: flat levels stay exactly
+    # representable (q = 0) and |q| <= range/step keeps the integer
+    # stream narrow
+    lo = arr.min(axis=0).astype(np.float64)
+    rng = (arr.max(axis=0).astype(np.float64) - lo)
+    if tol > 0.0:
+        step = np.full(nz, tol)
+    else:
+        step = np.maximum(rng, 1e-30) * 0.5 ** prec
+    # error-bounded uniform quantization: |x - (lo + step*q)| <= step/2
+    q = np.rint((arr - lo) / step).astype(np.int64)
+    # 2-D integer Lorenzo along the xy grid per level (exact inverse
+    # by double cumsum)
+    q3 = q.reshape(nx, ny, nz)
+    d = np.diff(np.diff(q3, axis=0, prepend=0), axis=1, prepend=0)
+    code, di = _pack_ints(d.reshape(-1))
+    payload = _zstd(di.tobytes(), level=3)
+
+    import io
+    buf = io.BytesIO()
+    _write_lossy_scale(buf, use_scale,
+                       off if use_scale else None,
+                       scl if use_scale else None)
+    out += buf.getvalue()
+    out += struct.pack("<iid", prec, code, tol)
+    out += np.asarray(step, "<f8").tobytes()
+    out += np.asarray(lo, "<f8").tobytes()
+    out += struct.pack("<Q", len(payload))
+    out += payload
+    return bytes(out)
+
+
+def sqz_decompress(f, nx: int, ny: int, nz: int) -> np.ndarray:
+    nxy = nx * ny
+    stored, off, scl = _read_lossy_scale(f, nz)
+    prec, code, tol = struct.unpack("<iid", f.read(16))
+    step = np.fromfile(f, "<f8", nz)
+    lo = np.fromfile(f, "<f8", nz)
+    plen, = struct.unpack("<Q", f.read(8))
+    raw = _unzstd(f.read(plen), 8 * nxy * nz)
+    d = np.frombuffer(raw, _INT_DT[code]).astype(np.int64).reshape(
+        nx, ny, nz)
+    q = np.cumsum(np.cumsum(d, axis=1), axis=0)
+    arr = (q * step + lo).astype(np.float32).reshape(nxy, nz)
+    if stored:
+        arr = unscale_from_unit(arr, off, scl)
+    return arr
+
+
+# ---------------------------------------------------------------- CMS
+
+def _haar_fwd(a: np.ndarray, levels: int):
+    """2-D Haar pyramid on [nx, ny, nz] (per level nz); returns
+    (approx, [detail coeff arrays])."""
+    details = []
+    for _ in range(levels):
+        nx, ny = a.shape[0], a.shape[1]
+        if nx < 2 or ny < 2:
+            break
+        ex, ey = nx - nx % 2, ny - ny % 2
+        core = a[:ex, :ey]
+        s00 = core[0::2, 0::2]
+        s01 = core[0::2, 1::2]
+        s10 = core[1::2, 0::2]
+        s11 = core[1::2, 1::2]
+        ll = (s00 + s01 + s10 + s11) * 0.25
+        lh = (s00 - s01 + s10 - s11) * 0.25
+        hl = (s00 + s01 - s10 - s11) * 0.25
+        hh = (s00 - s01 - s10 + s11) * 0.25
+        details.append((lh, hl, hh, a[ex:, :], a[:ex, ey:]))
+        a = ll
+    return a, details
+
+
+def _haar_inv(a: np.ndarray, details):
+    for lh, hl, hh, rx, ry in reversed(details):
+        s00 = a + lh + hl + hh
+        s01 = a - lh + hl - hh
+        s10 = a + lh - hl - hh
+        s11 = a - lh - hl + hh
+        nx2, ny2 = a.shape[0], a.shape[1]
+        out = np.empty((nx2 * 2, ny2 * 2) + a.shape[2:], a.dtype)
+        out[0::2, 0::2] = s00
+        out[0::2, 1::2] = s01
+        out[1::2, 0::2] = s10
+        out[1::2, 1::2] = s11
+        if ry.shape[1]:
+            out = np.concatenate([out, ry], axis=1)
+        if rx.shape[0]:
+            out = np.concatenate([out, rx], axis=0)
+        a = out
+    return a
+
+
+def cms_compress(ctl, name: str, arr: np.ndarray, nx: int, ny: int
+                 ) -> bytes:
+    """Multiscale stream for one 3-D variable; arr [nxy, nz] f32."""
+    import io
+    mv = metvar_index(name)
+    eps = ctl.met_cms_eps[mv]
+    nxy, nz = arr.shape
+    use_scale = bool(ctl.met_lossy_scale[mv])
+    if use_scale:
+        arr, off, scl = scale_to_unit(arr)
+    lo = arr.min(axis=0).astype(np.float64)
+    a3 = (arr.reshape(nx, ny, nz) - lo).astype(np.float64)
+    rng = np.maximum(arr.max(axis=0) - lo, 1e-30)
+    step = (rng * eps).astype(np.float64)
+    approx, details = _haar_fwd(a3, int(ctl.met_cms_maxlev))
+
+    streams = [np.rint(approx / step).astype(np.int64).reshape(-1)]
+    shapes = [approx.shape]
+    for lev, (lh, hl, hh, rx, ry) in enumerate(details):
+        for cpart in (lh, hl, hh, rx, ry):
+            qq = np.rint(cpart / step).astype(np.int64)
+            streams.append(qq.reshape(-1))
+            shapes.append(cpart.shape)
+    allq = np.concatenate(streams) if streams else np.zeros(0, np.int64)
+    code, di = _pack_ints(allq)
+    payload = di.tobytes()
+    if ctl.met_cms_zstd:
+        payload = _zstd(payload, level=3)
+
+    buf = io.BytesIO()
+    _write_lossy_scale(buf, use_scale,
+                       off if use_scale else None,
+                       scl if use_scale else None)
+    buf.write(struct.pack("<iii", len(details), code,
+                          1 if ctl.met_cms_zstd else 0))
+    buf.write(np.asarray(step, "<f8").tobytes())
+    buf.write(np.asarray(lo, "<f8").tobytes())
+    buf.write(struct.pack("<Q", len(payload)))
+    buf.write(payload)
+    return buf.getvalue()
+
+
+def cms_decompress(f, nx: int, ny: int, nz: int) -> np.ndarray:
+    nxy = nx * ny
+    stored, off, scl = _read_lossy_scale(f, nz)
+    nlev, code, zst = struct.unpack("<iii", f.read(12))
+    step = np.fromfile(f, "<f8", nz)
+    lo = np.fromfile(f, "<f8", nz)
+    plen, = struct.unpack("<Q", f.read(8))
+    payload = f.read(plen)
+    if zst:
+        payload = _unzstd(payload, 16 * nxy * nz + 4096)
+    allq = np.frombuffer(payload, _INT_DT[code]).astype(np.float64)
+
+    # rebuild the pyramid shapes deterministically from (nx, ny, nlev)
+    shapes = []
+    cx, cy = nx, ny
+    lev_shapes = []
+    for _ in range(nlev):
+        ex, ey = cx - cx % 2, cy - cy % 2
+        hx, hy = ex // 2, ey // 2
+        lev_shapes.append(((hx, hy), (cx - ex, cy), (ex, cy - ey)))
+        cx, cy = hx, hy
+    shapes.append((cx, cy))
+
+    pos = 0
+
+    def pull(shape):
+        nonlocal pos
+        cnt = int(np.prod(shape)) * nz
+        out = allq[pos:pos + cnt].reshape(shape + (nz,)) * step
+        pos += cnt
+        return out
+
+    approx = pull(shapes[0])
+    details = []
+    for (hxy, rxs, rys) in lev_shapes:
+        lh = pull(hxy)
+        hl = pull(hxy)
+        hh = pull(hxy)
+        rx = pull(rxs)
+        ry = pull(rys)
+        details.append((lh, hl, hh, rx, ry))
+    arr = (_haar_inv(approx, details) + lo).astype(
+        np.float32).reshape(nxy, nz)
+    if stored:
+        arr = unscale_from_unit(arr, off, scl)
+    return arr

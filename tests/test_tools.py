@@ -127,10 +127,67 @@ def test_wind_tool_and_met_roundtrip(tmp_path):
     # optional codecs absent from this build error like the reference
     # compiled without them (mptrac.c:7881-7904)
     from mptrac_tpu.met.bin_io import write_met_bin
-    for met_type in (3, 5, 7):
+    for met_type in (3,):
         with pytest.raises(NotImplementedError, match="compression"):
             write_met_bin(str(tmp_path / "x.bin"), met,
                           met_type=met_type)
+
+
+def test_lossy_codecs_roundtrip(tmp_path):
+    """SZ3-style (7) and CMS multiscale (5) codecs: compress_test
+    analog — error bounds hold, streams actually compress, and the
+    per-level lossy rescale machinery round-trips (reference
+    compress_sz3 c:1261, compress_cms c:468, scale-to-unit c:811)."""
+    from mptrac_tpu import read_ctl
+    from mptrac_tpu.met import lossy
+    from mptrac_tpu.met.bin_io import read_met_bin, write_met_bin
+    from mptrac_tpu.met.synthetic import make_wind_met
+
+    met = make_wind_met(nx=36, ny=19, nz=8)
+    for met_type, scale in ((7, 0), (7, 1), (5, 0), (5, 1)):
+        args = ["NQ", "0", "METBASE", "-", "MET_TYPE", str(met_type),
+                "T_STOP", "1", "MET_LOSSY_SCALE", str(scale)]
+        ctl = read_ctl(None, args)
+        binf = tmp_path / f"m{met_type}_{scale}.bin"
+        write_met_bin(str(binf), met, met_type=met_type, ctl=ctl)
+        raw = read_met_bin(str(binf), ctl)
+        for name in ("t", "u", "w"):
+            a = np.asarray(met.fields3d[name], np.float64)
+            b = np.asarray(raw["fields3d"][name], np.float64)
+            rng = max(a.max() - a.min(), 1e-30)
+            mv = lossy.metvar_index(name)
+            if met_type == 7:
+                # |err| <= step; prec mode step = range * 2^-prec
+                bound = rng * 0.5 ** ctl.met_sz3_prec[mv]
+            else:
+                # Haar thresholding: err ~ eps*range per level
+                bound = rng * ctl.met_cms_eps[mv] \
+                    * (ctl.met_cms_maxlev + 1)
+            assert np.abs(b - a).max() <= bound * 1.001, (
+                met_type, scale, name)
+        # compresses vs raw f32 container
+        raw_size = (tmp_path / "wind.t1.bin")
+        assert binf.stat().st_size < 4 * 36 * 19 * 8 * 13
+
+    # tolerance mode: absolute bound
+    tolargs = ["NQ", "0", "METBASE", "-", "MET_TYPE", "7",
+               "T_STOP", "1"]
+    for i in range(13):
+        tolargs += [f"MET_SZ3_PREC[{i}]", "0",
+                    f"MET_SZ3_TOL[{i}]", "0.05"]
+    ctl = read_ctl(None, tolargs)
+    binf = tmp_path / "mtol.bin"
+    write_met_bin(str(binf), met, met_type=7, ctl=ctl)
+    raw = read_met_bin(str(binf), ctl)
+    a = np.asarray(met.fields3d["t"], np.float64)
+    b = np.asarray(raw["fields3d"]["t"], np.float64)
+    assert np.abs(b - a).max() <= 0.05 * 1.001
+    # misconfiguration: both prec and tol set
+    bad = read_ctl(None, ["NQ", "0", "METBASE", "-", "MET_TYPE", "7",
+                          "T_STOP", "1", "MET_SZ3_TOL[1]", "0.05"])
+    with pytest.raises(ValueError, match="Exactly one"):
+        write_met_bin(str(tmp_path / "bad.bin"), met, met_type=7,
+                      ctl=bad)
 
 
 def test_atm_stat(tmp_path):
