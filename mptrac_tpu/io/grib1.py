@@ -80,6 +80,14 @@ def decode_file(path: str) -> List[GribRecord]:
         if idx < 0:
             break
         edition = data[idx + 7]
+        if edition == 2:
+            from mptrac_tpu.io import grib2
+            total = struct.unpack(">Q", data[idx + 8:idx + 16])[0]
+            rec = grib2.decode_message(data[idx:idx + total])
+            if rec is not None:
+                out.append(rec)
+            pos = idx + total
+            continue
         if edition != 1:
             raise NotImplementedError(f"GRIB edition {edition}")
         total = _u(data, idx + 4, 3)

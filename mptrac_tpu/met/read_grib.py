@@ -109,7 +109,6 @@ def read_met_grib(filename: str, ctl: Ctl) -> Dict[str, object]:
     if "ps" not in f2 or np.isnan(f2["ps"]).all():
         f2["ps"] = np.full((nx, ny), float(p[0]), np.float32)
 
-    time = time_from_filename(filename) if "_" in filename else 0.0
     try:
         time = time_from_filename(filename)
     except Exception:

@@ -165,6 +165,75 @@ def test_grib1_reader(reference_dir):
     assert by_param[134].year == 2011 and by_param[134].mon == 6
 
 
+def test_grib2_roundtrip(tmp_path):
+    """GRIB2 encode -> decode round trip (templates 3.0/4.0/5.0,
+    simple packing; reference ecCodes path c:10467-10907)."""
+    from mptrac_tpu.io import grib2
+    rng = np.random.default_rng(3)
+    ny, nx = 19, 36
+    lon = np.linspace(0, 350, nx)
+    lat = np.linspace(-90, 90, ny)
+    vals = 250.0 + 30.0 * rng.random((ny, nx))
+    msg = grib2.encode_message(130, 500, vals, lon, lat,
+                               when=(2011, 6, 6, 0, 0),
+                               level_type=100)
+    f = tmp_path / "t.grb2"
+    f.write_bytes(msg + grib2.encode_message(
+        134, 0, 90000.0 + 5000.0 * rng.random((ny, nx)), lon, lat,
+        when=(2011, 6, 6, 0, 0), level_type=1))
+    recs = grib2.decode_file(str(f))
+    assert len(recs) == 2
+    r = recs[0]
+    assert (r.param, r.level_type, r.level) == (130, 100, 500)
+    assert (r.year, r.mon, r.day) == (2011, 6, 6)
+    assert r.nx == nx and r.ny == ny
+    assert abs(r.lon0 - lon[0]) < 1e-5 and abs(r.lat1 - lat[-1]) < 1e-5
+    # 16-bit simple packing: relative error ~ range/2^16
+    np.testing.assert_allclose(r.values, vals, atol=30.0 / 60000)
+    # edition-agnostic entry point dispatches too
+    from mptrac_tpu.io.grib1 import decode_file
+    assert len(decode_file(str(f))) == 2
+
+
+def test_read_met_grib2_ml(tmp_path):
+    """Full met ingest from generated GRIB2 ml+sf companion files —
+    the ml-grib coverage the reference grib_test exercises with
+    ecCodes fixtures (run.sh)."""
+    from mptrac_tpu.io import grib2
+    ny, nx = 19, 36
+    lon = np.linspace(0, 350, nx)
+    lat = np.linspace(-90, 90, ny)
+    levels = [850, 500, 200]
+    when = (2011, 6, 5, 0, 0)
+    lat2 = lat[:, None] * np.pi / 180.0
+    ml = b""
+    for lev in levels:
+        t = 220.0 + 60.0 * np.cos(lat2) * np.ones((ny, nx)) \
+            * (lev / 1000.0)
+        u = 40.0 * np.cos(lat2) * np.ones((ny, nx))
+        v = np.zeros((ny, nx)) + 1.0
+        for code, vals in ((130, t), (131, u), (132, v)):
+            ml += grib2.encode_message(code, lev, vals, lon, lat,
+                                       when=when, level_type=100)
+    sf = grib2.encode_message(
+        134, 0, np.full((ny, nx), 101325.0), lon, lat, when=when,
+        level_type=1)
+    (tmp_path / "gb_2011060500_ml.grb").write_bytes(ml)
+    (tmp_path / "gb_2011060500_sf.grb").write_bytes(sf)
+
+    from mptrac_tpu.met.read_grib import read_met_grib
+    ctl = read_ctl(None, ["NQ", "0", "METBASE", "-", "MET_TYPE", "6",
+                          "T_STOP", "1"])
+    raw = read_met_grib(str(tmp_path / "gb_2011060500_XX.grb"), ctl)
+    assert list(raw["p"]) == [850.0, 500.0, 200.0]
+    assert raw["fields3d"]["t"].shape == (nx, ny, 3)
+    # equator t at 850 hPa = 220 + 60*0.85 = 271
+    iy = np.argmin(np.abs(raw["lat"]))
+    assert abs(raw["fields3d"]["t"][5, iy, 0] - 271.0) < 0.5
+    assert abs(raw["fields2d"]["ps"][0, 0] - 1013.25) < 0.1
+    assert abs(raw["fields3d"]["u"][3, iy, 1] - 40.0) < 0.1
+
+
 def test_read_met_grib(reference_dir):
     from mptrac_tpu.met.read_grib import read_met_grib
     base = str(reference_dir / "tests" / "grib_test" / "gribdata"
