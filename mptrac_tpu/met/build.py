@@ -40,14 +40,15 @@ def interp_columns_at(field3, lon, lat, p, ptarget, coord_type=0):
     return np.where(np.isfinite(pt), out, np.nan).astype(np.float32)
 
 
-def read_met(filename: str, ctl: Ctl, clim=None) -> Met:
+def read_met(filename: str, ctl: Ctl, clim=None, sel=None) -> Met:
     """Read one meteo file and run the preprocessing chain
-    (reference mptrac_read_met, c:7436)."""
+    (reference mptrac_read_met, c:7436).  ``sel`` restricts netCDF
+    reads to a horizontal hyperslab (domain-decomposition tiles)."""
     from mptrac_tpu.met import process
     from mptrac_tpu.met.read_nc import read_met_nc
 
     if ctl.met_type == 0:
-        raw = read_met_nc(filename, ctl)
+        raw = read_met_nc(filename, ctl, sel=sel)
     elif ctl.met_type in (1, 2, 3, 4, 5, 7, 8):
         from mptrac_tpu.met.bin_io import read_met_bin
         raw = read_met_bin(filename, ctl)

@@ -107,14 +107,72 @@ def _to_xy(data: np.ndarray) -> np.ndarray:
     raise ValueError(f"Unexpected variable rank: {data.shape}")
 
 
-def read_met_nc(filename: str, ctl: Ctl):
+class _SelVar:
+    """Hyperslab view of one netCDF variable: horizontal dims sliced
+    by index arrays, attributes passed through."""
+
+    def __init__(self, var, name, xsel, ysel, lon_axis, lat_axis):
+        self._var = var
+        self._name = name
+        self._xsel = xsel
+        self._ysel = ysel
+        self._lon = lon_axis
+        self._lat = lat_axis
+
+    def __getattr__(self, k):
+        return getattr(self._var, k)
+
+    def __getitem__(self, key):
+        data = self._var.data
+        if data.ndim >= 2:
+            # layout (time, [lev,] lat, lon): y rows first (reads only
+            # the selected records from the mapped file), then x
+            return np.asarray(data[..., self._ysel, :][..., self._xsel])
+        if self._name in ("lon", "x"):
+            return self._lon
+        if self._name in ("lat", "y"):
+            return self._lat
+        return np.asarray(data)
+
+
+class _HyperslabNC:
+    """netCDF handle proxy limiting horizontal reads to a tile
+    (reference analog: the per-rank parallel-netCDF hyperslab reads of
+    dd_read_met_nc_grid, c:11077-11253)."""
+
+    def __init__(self, nc, xsel, ysel, lon_axis, lat_axis):
+        self._nc = nc
+        self.variables = {
+            name: _SelVar(v, name, xsel, ysel, lon_axis, lat_axis)
+            for name, v in nc.variables.items()}
+
+    def close(self):
+        try:
+            self._nc.close()
+        except Exception:
+            pass
+
+
+def read_met_nc(filename: str, ctl: Ctl, sel=None):
     """Read one meteo snapshot from netCDF into host numpy arrays.
+
+    ``sel`` optionally restricts the read to a horizontal hyperslab:
+    ``(xidx, yidx, lon_axis, lat_axis)`` index arrays plus the
+    replacement axes (monotone across a periodic wrap / pole-clamped
+    halos).  With a memory-mapped file only the selected latitude rows
+    are read from disk — the domain-decomposition tile path (reference
+    dd_read_met_nc_grid, c:11077).
 
     Returns a dict with grid axes and raw field dicts; the
     preprocessing chain (:mod:`mptrac_tpu.met.process`) turns it into a
     finished :class:`Met`.
     """
-    nc = netcdf_file(filename, mmap=False)
+    nc = netcdf_file(filename, mmap=sel is not None)
+    if sel is not None:
+        xidx, yidx, lon_axis, lat_axis = sel
+        nc = _HyperslabNC(nc, np.asarray(xidx), np.asarray(yidx),
+                          np.asarray(lon_axis, np.float64),
+                          np.asarray(lat_axis, np.float64))
     try:
         out: Dict[str, object] = {}
         out["time"] = time_from_filename(filename)

@@ -106,6 +106,50 @@ def plan_decomposition(ctl: Ctl, met: Met, ndev: Optional[int] = None
         periodic=periodic)
 
 
+def tile_selection(dd: DDGrid, rank: int, lat_glob: np.ndarray):
+    """Hyperslab index arrays + replacement axes for one subdomain:
+    (xidx, yidx, lon_axis, lat_axis).  x indices wrap periodically
+    through the duplicated last column; y halos clamp at the poles
+    with the axis extrapolated by the edge spacing so locate_irr stays
+    strictly monotonic."""
+    sx, sy = rank // dd.n_merid, rank % dd.n_merid
+    base_x = dd.nx_glob // dd.n_zonal
+    base_y = -(-dd.ny_glob // dd.n_merid)
+    h = dd.halo
+    startx = sx * base_x - h
+    xraw = np.arange(startx, startx + base_x + 2 * h)
+    if dd.periodic:
+        xidx = np.mod(xraw, dd.nx_glob - 1)
+    else:
+        xidx = np.clip(xraw, 0, dd.nx_glob - 1)
+    lon_axis = dd.lon0 + dd.dlon * xraw
+
+    starty = sy * base_y - h
+    yraw = np.arange(starty, starty + base_y + 2 * h)
+    yidx = np.clip(yraw, 0, dd.ny_glob - 1)
+    lat = np.asarray(lat_glob, np.float64)
+    edge0 = lat[1] - lat[0]
+    edge1 = lat[-1] - lat[-2]
+    lat_axis = lat[yidx]
+    lat_axis = np.where(yraw < 0, lat[0] + yraw * edge0, lat_axis)
+    lat_axis = np.where(yraw > dd.ny_glob - 1,
+                        lat[-1] + (yraw - (dd.ny_glob - 1)) * edge1,
+                        lat_axis)
+    return xidx, yidx, lon_axis, lat_axis
+
+
+def read_met_tile(filename: str, ctl: Ctl, dd: DDGrid, rank: int,
+                  lat_glob, clim=None) -> Met:
+    """Read ONE subdomain's met tile (with halos) directly from the
+    file as a hyperslab — each rank reads only its own rows instead of
+    the full global grid (reference dd_read_met_nc_grid per-rank
+    parallel-netCDF reads, c:11045-11253).  Preprocessing then runs on
+    the tile only."""
+    from mptrac_tpu.met.build import read_met
+    sel = tile_selection(dd, rank, lat_glob)
+    return read_met(filename, ctl, clim=clim, sel=sel)
+
+
 def make_tiles(dd: DDGrid, met: Met) -> Met:
     """Split a global snapshot (or stacked pair) into per-device tiles
     with halos: arrays gain a leading [ndev] axis (the device shard
@@ -192,35 +236,34 @@ def make_tiles(dd: DDGrid, met: Met) -> Met:
 
 def scatter_parcels(dd: DDGrid, atm: Atm, cap: int, lat_axis
                     ) -> Tuple[Atm, Cache]:
-    """Distribute a host Atm onto per-device slots [ndev * cap]."""
+    """Distribute a host Atm onto per-device slots [ndev * cap]:
+    argsort bucketing, no per-parcel loop (the reference's analog is
+    the initial dd_sort + MPI scatter, c:2384)."""
     n = int(atm.np)
     lon = np.asarray(atm.lon)[:n]
     lat = np.asarray(atm.lat)[:n]
     owner = np.asarray(dd.owner_of(jnp.asarray(lon), jnp.asarray(lat),
                                    jnp.asarray(lat_axis)))
+    counts = np.bincount(owner, minlength=dd.ndev).astype(np.int32)
+    if n and counts.max() > cap:
+        raise ValueError("DD per-device capacity exceeded!")
+    order = np.argsort(owner, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(n) - starts[owner[order]]
+    slots = owner[order] * cap + pos
+
     out = Atm.zeros(dd.ndev * cap, tuple(atm.q))
-    arrays = dict(time=np.zeros(dd.ndev * cap),
-                  p=np.full(dd.ndev * cap, 1000.0),
-                  lon=np.zeros(dd.ndev * cap),
-                  lat=np.zeros(dd.ndev * cap))
-    qarr = {k: np.zeros(dd.ndev * cap) for k in atm.q}
-    counts = np.zeros(dd.ndev, np.int32)
-    for i in range(n):
-        d = owner[i]
-        if counts[d] >= cap:
-            raise ValueError("DD per-device capacity exceeded!")
-        slot = d * cap + counts[d]
-        arrays["time"][slot] = np.asarray(atm.time)[i]
-        arrays["p"][slot] = np.asarray(atm.p)[i]
-        arrays["lon"][slot] = lon[i]
-        arrays["lat"][slot] = lat[i]
-        for k in atm.q:
-            qarr[k][slot] = np.asarray(atm.q[k])[i]
-        counts[d] += 1
+    N = dd.ndev * cap
+
+    def place(src, fill=0.0):
+        a = np.full(N, fill, np.float64)
+        a[slots] = np.asarray(src)[:n][order]
+        return jnp.asarray(a)
+
     out = out.replace(
-        time=jnp.asarray(arrays["time"]), p=jnp.asarray(arrays["p"]),
-        lon=jnp.asarray(arrays["lon"]), lat=jnp.asarray(arrays["lat"]),
-        q={k: jnp.asarray(v) for k, v in qarr.items()},
+        time=place(atm.time), p=place(atm.p, 1000.0),
+        lon=place(atm.lon), lat=place(atm.lat),
+        q={k: place(v) for k, v in atm.q.items()},
         np=jnp.asarray(counts))
     cache = Cache.zeros(dd.ndev * cap)
     cache = cache.replace(rng_ctr=jnp.zeros(dd.ndev, jnp.uint64))
@@ -228,10 +271,11 @@ def scatter_parcels(dd: DDGrid, atm: Atm, cap: int, lat_axis
 
 
 def gather_parcels(dd: DDGrid, atm: Atm, cap: int) -> Atm:
-    """Collect live parcels from all devices into a dense host Atm."""
+    """Collect live parcels from all devices into a dense host Atm
+    (vectorized keep-mask, no per-device loop)."""
     counts = np.asarray(atm.np)
-    keep = np.concatenate([
-        np.arange(d * cap, d * cap + counts[d]) for d in range(dd.ndev)])
+    slot = np.arange(dd.ndev * cap)
+    keep = np.flatnonzero(slot % cap < counts[slot // cap])
     n = keep.size
     return Atm(
         time=jnp.asarray(np.asarray(atm.time)[keep]),

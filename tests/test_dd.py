@@ -101,6 +101,103 @@ def test_dd_matches_single_device(setup):
     np.testing.assert_allclose(p_d, p_s, atol=1e-9)
 
 
+def test_dd_stress_3x3_diffusion():
+    """dd_test-parity stress run (reference tests/dd_test/run.sh:83):
+    3x3 subdomains, 10k parcels, diffusion ON, conservation +
+    overflow-detection + lost-parcel accounting.  Runs in a
+    subprocess with 9 virtual devices (the suite itself runs with
+    8)."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=9")
+    helper = os.path.join(os.path.dirname(__file__), "helpers",
+                          "dd_stress_worker.py")
+    r = subprocess.run([sys.executable, helper], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK n=10000" in r.stdout, r.stdout
+
+
+def test_dd_multiprocess_all_to_all(tmp_path):
+    """Two jax.distributed processes (1 cpu device each) exchange
+    parcels through a cross-process lax.all_to_all and read their met
+    tiles as per-rank hyperslabs (reference MPI_Alltoallv c:2072 +
+    dd_read_met_nc_grid c:11077)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # met files shared by both ranks
+    from mptrac_tpu.met.synthetic import make_wind_met
+    from mptrac_tpu.met.write_nc import write_met_nc
+    for t0, name in ((0.0, "wind_2000_01_01_00.nc"),
+                     (3600.0, "wind_2000_01_01_01.nc")):
+        write_met_nc(str(tmp_path / name),
+                     make_wind_met(t0=t0, nx=36, ny=19, nz=8),
+                     drop_wrap_column=True)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    helper = os.path.join(os.path.dirname(__file__), "helpers",
+                          "dd_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS",)}
+    procs = [subprocess.Popen(
+        [sys.executable, helper, str(pid), "2", str(port),
+         str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, out + err
+        assert "OK pid=" in out, out + err
+
+
+def test_read_met_tile_hyperslab(tmp_path):
+    """Per-rank hyperslab met read equals slicing the global read."""
+    from mptrac_tpu.met.build import read_met
+    from mptrac_tpu.met.synthetic import make_wind_met
+    from mptrac_tpu.met.write_nc import write_met_nc
+    ctl = read_ctl(None, [
+        "NQ", "0", "METBASE", "-", "MET_TROPO", "0", "MET_CAPE", "0",
+        "MET_PBL", "3", "T_STOP", "1",
+        "DD", "1", "DD_SUBDOMAINS_ZONAL", "2",
+        "DD_SUBDOMAINS_MERIDIONAL", "2", "DD_HALOS_SIZE", "3"])
+    fn = str(tmp_path / "wind_2000_01_01_00.nc")
+    write_met_nc(fn, make_wind_met(nx=36, ny=19, nz=8),
+                 drop_wrap_column=True)
+    met_glob = read_met(fn, ctl)
+    dd = ddm.plan_decomposition(ctl, met_glob, ndev=4)
+    lat_glob = np.asarray(met_glob.lat)
+    for rank in range(4):
+        tile = ddm.read_met_tile(fn, ctl, dd, rank, lat_glob)
+        xidx, yidx, lon_axis, lat_axis = ddm.tile_selection(
+            dd, rank, lat_glob)
+        assert np.asarray(tile.lon).shape[0] == xidx.size
+        np.testing.assert_allclose(np.asarray(tile.lon), lon_axis)
+        np.testing.assert_allclose(np.asarray(tile.lat), lat_axis)
+        # interior (non-halo) data matches the global field exactly
+        u_g = np.asarray(met_glob.fields3d["u"])
+        u_t = np.asarray(tile.fields3d["u"])
+        h = dd.halo
+        sel_u = u_g[xidx][:, yidx]
+        np.testing.assert_allclose(
+            u_t[h:-h, h:-h], sel_u[h:-h, h:-h], atol=1e-5)
+
+
 def test_owner_assignment():
     dd = ddm.DDGrid(n_zonal=4, n_merid=2, halo=2, nx_glob=91,
                     ny_glob=46, lon0=0.0, dlon=4.0, periodic=True)
