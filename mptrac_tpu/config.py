@@ -292,6 +292,9 @@ class Ctl:
 
     # Sorting
     sort_dt: float = -999.0
+    #: TPU fast path: packed-gather f32 interpolation tables
+    #: (framework extension; 0 = exact reference-parity arithmetic)
+    tpu_fast: int = 0
 
     # Isosurface
     isosurf: int = 0
@@ -615,6 +618,7 @@ def read_ctl(filename: Optional[str], args: Sequence[str] = ()) -> Ctl:
     kw["met_cache"] = s.scan_int("MET_CACHE", -1, "0")
     kw["met_mpi_share"] = s.scan_int("MET_MPI_SHARE", -1, "0")
     kw["sort_dt"] = s.scan_float("SORT_DT", -1, "-999")
+    kw["tpu_fast"] = s.scan_int("TPU_FAST", -1, "0")
     kw["isosurf"] = s.scan_int("ISOSURF", -1, "0")
     kw["balloon"] = s.scan_str("BALLOON", -1, "-")
     kw["rng_type"] = s.scan_int("RNG_TYPE", -1, "1")

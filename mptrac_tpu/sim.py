@@ -137,7 +137,11 @@ class Simulation:
         self.checkpoint_dt = checkpoint_dt
         self._resume_t: Optional[float] = None
         self._steps: Dict[pipeline.StepFlags, object] = {}
+        self._scans: Dict[pipeline.StepFlags, object] = {}
         self._output: Optional[object] = None
+        self._pack = None
+        self._pack_src = None
+        self._pack_builder = None
 
     def resume(self, path: Optional[str] = None):
         """Restore state from a checkpoint and continue from its time."""
@@ -150,9 +154,63 @@ class Simulation:
     def _step_fn(self, flags: pipeline.StepFlags):
         fn = self._steps.get(flags)
         if fn is None:
-            fn = pipeline.make_step(self.ctl, self.clim, flags)
+            ctl, clim = self.ctl, self.clim
+            use_pack = bool(ctl.tpu_fast)
+
+            @jax.jit
+            def fn(met01, atm, cache, t, pack=None):
+                return pipeline.run_timestep(
+                    ctl, clim, met01, atm, cache, t, flags,
+                    pack if use_pack else None)
             self._steps[flags] = fn
         return fn
+
+    def _scan_fn(self, flags: pipeline.StepFlags):
+        fn = self._scans.get(flags)
+        if fn is None:
+            fn = pipeline.make_scan_step(
+                self.ctl, self.clim, flags,
+                use_pack=bool(self.ctl.tpu_fast))
+            self._scans[flags] = fn
+        return fn
+
+    def _get_pack(self, met01):
+        """Packed gather tables, rebuilt per met interval
+        (ops.fast_interp; TPU_FAST only)."""
+        if not self.ctl.tpu_fast:
+            return None
+        if self._pack_src is not met01:
+            from mptrac_tpu.ops.fast_interp import build_met_pack
+            if self._pack_builder is None:
+                self._pack_builder = jax.jit(build_met_pack)
+            self._pack = self._pack_builder(met01)
+            self._pack_src = met01
+        return self._pack
+
+    def _event_due(self, t: float) -> bool:
+        """True when step t needs host-side work besides the jitted
+        step itself: interval outputs, sorting, checkpoints."""
+        ctl = self.ctl
+
+        def hit(dt):
+            return dt > 0 and math.fmod(t, dt) == 0
+
+        return (t == ctl.t_stop
+                or (ctl.atm_basename != "-" and hit(ctl.atm_dt_out))
+                or (ctl.grid_basename != "-" and hit(ctl.grid_dt_out))
+                or (ctl.ens_basename != "-" and hit(ctl.ens_dt_out))
+                or ctl.vtk_basename != "-"
+                or hit(ctl.sort_dt)
+                or (self.checkpoint_file is not None
+                    and hit(self.checkpoint_dt)))
+
+    @property
+    def _per_step_output(self) -> bool:
+        ctl = self.ctl
+        return any(b != "-" for b in (ctl.csi_basename,
+                                      ctl.prof_basename,
+                                      ctl.sample_basename,
+                                      ctl.stat_basename))
 
     def _flags(self, t: float) -> pipeline.StepFlags:
         ctl = self.ctl
@@ -195,7 +253,8 @@ class Simulation:
                                                    self.cache)
         step = self._step_fn(self._flags(t))
         with self.timers.timer("RUN_TIMESTEP", "PHYSICS", sync=None):
-            self.atm, self.cache = step(met01, self.atm, self.cache, t)
+            self.atm, self.cache = step(met01, self.atm, self.cache, t,
+                                        self._get_pack(met01))
         if write_output:
             with self.timers.timer("WRITE_OUTPUT", "OUTPUT"):
                 self.write_output(t)
@@ -211,17 +270,65 @@ class Simulation:
             self._output.close()
             self._output = None
 
-    def run(self, write_output: bool = True, progress: bool = False):
-        """Run the full time loop."""
+    def run(self, write_output: bool = True, progress: bool = False,
+            scan: bool = True):
+        """Run the full time loop.
+
+        Homogeneous runs of steps — same static flags, same met pair,
+        no interval output / sort / checkpoint due — are batched into
+        one on-device ``lax.scan`` dispatch (the reference dispatches
+        every step from the host, trac.c:122-160; on TPU per-dispatch
+        latency would dominate).  ``scan=False`` forces one dispatch
+        per step."""
+        ts = [t for t in self.times()
+              if not (self._resume_t is not None
+                      and self.ctl.direction * (t - self._resume_t)
+                      <= 0)]
+        batch_ok = scan and not self._per_step_output
         first = True
-        for t in self.times():
-            if self._resume_t is not None and \
-                    self.ctl.direction * (t - self._resume_t) <= 0:
+        i = 0
+        while i < len(ts):
+            t = ts[i]
+            # group of scannable steps starting at ts[i]
+            j = i
+            if batch_ok and not first:
+                flags = self._flags(t)
+                met1_t = (float(self.metbuf.met1.time)
+                          if self.metbuf.met1 is not None else None)
+                while j < len(ts):
+                    tj = ts[j]
+                    if self._event_due(tj) or self._flags(tj) != flags:
+                        break
+                    if met1_t is not None and (
+                            self.ctl.direction == 1 and tj > met1_t
+                            or self.ctl.direction == -1
+                            and tj < float(self.metbuf.met0.time)):
+                        break
+                    j += 1
+            if j - i >= 2:
+                with self.timers.timer("GET_MET", "INPUT"):
+                    met01 = self.metbuf.get(ts[i])
+                scanf = self._scan_fn(self._flags(ts[i]))
+                tvec = jnp.asarray(ts[i:j], jnp.float64)
+                with self.timers.timer("RUN_TIMESTEP", "PHYSICS",
+                                       sync=None):
+                    pack = self._get_pack(met01)
+                    if pack is not None:
+                        self.atm, self.cache = scanf(
+                            met01, self.atm, self.cache, tvec, pack)
+                    else:
+                        self.atm, self.cache = scanf(
+                            met01, self.atm, self.cache, tvec)
+                if progress:
+                    print(f"  t={ts[i]:.0f}..{ts[j - 1]:.0f} "
+                          f"(scan x{j - i})", flush=True)
+                i = j
                 continue
             self.advance(t, write_output, first=first)
             first = False
             if progress:
                 print(f"  t={t:.0f}", flush=True)
+            i += 1
         self.close()
         return self.atm
 
