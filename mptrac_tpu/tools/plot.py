@@ -41,17 +41,87 @@ def main(argv):
 
     kind = argv[1]
     out = argv[2]
-    files = argv[3:]
+    # options after the file list (web runner plot settings; the
+    # reference renders these with cartopy, app.py:265-313 — here the
+    # Robinson/orthographic transforms are plain numpy)
+    files = []
+    proj = "cartesian"
+    bounds = None
+    zrange = None
+    mark = None
+    it = iter(argv[3:])
+    for a in it:
+        if a == "--proj":
+            proj = next(it)
+        elif a == "--bounds":
+            bounds = [float(next(it)) for _ in range(4)]
+        elif a == "--zrange":
+            zrange = [float(next(it)) for _ in range(2)]
+        elif a == "--mark":
+            mark = [float(next(it)) for _ in range(2)]
+        else:
+            files.append(a)
+
+    def project(lon, lat):
+        lon = np.asarray(lon, float)
+        lat = np.asarray(lat, float)
+        if proj == "robinson":
+            # Robinson by table interpolation (standard coefficients)
+            latt = np.array([0, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50,
+                             55, 60, 65, 70, 75, 80, 85, 90])
+            X = np.array([1, .9986, .9954, .99, .9822, .973, .96,
+                          .9427, .9216, .8962, .8679, .835, .7986,
+                          .7597, .7186, .6732, .6213, .5722, .5322])
+            Y = np.array([0, .062, .124, .186, .248, .31, .372, .434,
+                          .4958, .5571, .6176, .6769, .7346, .7903,
+                          .8435, .8936, .9394, .9761, 1])
+            x = (np.interp(np.abs(lat), latt, X) * lon / 180.0)
+            y = np.sign(lat) * np.interp(np.abs(lat), latt, Y)
+            return x, y, None
+        if proj == "orthographic":
+            lam = np.radians(lon - (mark[0] if mark else 0.0))
+            phi = np.radians(lat)
+            phi0 = np.radians(mark[1] if mark else 0.0)
+            cosc = (np.sin(phi0) * np.sin(phi)
+                    + np.cos(phi0) * np.cos(phi) * np.cos(lam))
+            x = np.cos(phi) * np.sin(lam)
+            y = (np.cos(phi0) * np.sin(phi)
+                 - np.sin(phi0) * np.cos(phi) * np.cos(lam))
+            return x, y, cosc >= 0          # visible hemisphere
+        return lon, lat, None
 
     if kind == "atm":
         for i, f in enumerate(files):
             d = _load_tab(f)
             fig, ax = plt.subplots(figsize=(10, 5))
-            sc = ax.scatter(d[:, 2], d[:, 3], c=d[:, 1], s=2,
-                            cmap="viridis")
+            x, y, vis = project(d[:, 2], d[:, 3])
+            z = d[:, 1]
+            if vis is not None:
+                x, y, z = x[vis], y[vis], z[vis]
+            kw = {}
+            if zrange:
+                kw = dict(vmin=zrange[0], vmax=zrange[1])
+            sc = ax.scatter(x, y, c=z, s=2, cmap="viridis", **kw)
             fig.colorbar(sc, ax=ax, label="altitude [km]")
-            ax.set_xlabel("longitude [deg]")
-            ax.set_ylabel("latitude [deg]")
+            if mark is not None:
+                mx, my, mvis = project([mark[0]], [mark[1]])
+                if mvis is None or mvis[0]:
+                    ax.plot(mx, my, "o", color="red", ms=8,
+                            mec="white", zorder=5)
+            if proj == "cartesian":
+                ax.set_xlabel("longitude [deg]")
+                ax.set_ylabel("latitude [deg]")
+                if bounds:
+                    ax.set_xlim(bounds[0], bounds[1])
+                    ax.set_ylim(bounds[2], bounds[3])
+            else:
+                ax.set_aspect("equal")
+                ax.set_xticks([])
+                ax.set_yticks([])
+                if proj == "orthographic":
+                    th = np.linspace(0, 2 * np.pi, 200)
+                    ax.plot(np.cos(th), np.sin(th), color="gray",
+                            lw=0.5)
             ax.set_title(f)
             fn = out.format(i) if "{}" in out or "{0}" in out else (
                 out if len(files) == 1 else f"{out}.{i}.png")
