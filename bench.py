@@ -29,7 +29,7 @@ BASELINE_PARCEL_STEPS_S = 8.6e6
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--np", type=int, dest="n_parcels",
-                    default=int(os.environ.get("BENCH_NP", 2_000_000)))
+                    default=int(os.environ.get("BENCH_NP", 100_000_000)))
     ap.add_argument("--steps", type=int,
                     default=int(os.environ.get("BENCH_STEPS", 20)))
     ap.add_argument("--nx", type=int, default=360)
@@ -122,8 +122,24 @@ def main():
         return float(jnp.sum(a.p[:128])) + float(c.rng_ctr)
 
     if args.scan > 1:
-        scan = pipeline.make_scan_step(ctl, clim,
-                                       use_pack=pack is not None)
+        # donate atm/cache so the 100M-parcel state is updated in
+        # place (in+out copies would not fit HBM)
+        ctl_scan = ctl
+
+        def _scan_fn(met01, a, c, ts, pack=None):
+            from mptrac_tpu.physics.pipeline import run_timestep
+
+            def body(carry, t):
+                aa, cc = carry
+                aa, cc = run_timestep(ctl_scan, clim, met01, aa, cc, t,
+                                      pipeline.StepFlags(),
+                                      pack)
+                return (aa, cc), None
+
+            (a, c), _ = jax.lax.scan(body, (a, c), ts)
+            return a, c
+
+        scan = jax.jit(_scan_fn, donate_argnums=(1, 2))
         k = args.scan
 
         def step_block(a, c, i0):

@@ -46,6 +46,36 @@ class MetPack(NamedTuple):
     sfc: Optional[jnp.ndarray] = None
 
 
+
+#: parcel-chunk size bounding gather intermediates: XLA materializes
+#: gathered rows ([np, 64/128] f32 — tens of GB at 100M parcels), so
+#: the packed-interp kernels map over chunks of this many parcels
+import os as _os
+GATHER_CHUNK = int(_os.environ.get("MPTRAC_GATHER_CHUNK", 8_388_608))
+
+
+def map_chunks(fn, args, chunk=None):
+    """Apply ``fn`` over parcel-dimension chunks (lax.map) so the
+    gathered-row intermediates stay bounded.  ``args`` are [n, ...]
+    arrays; fn returns arrays with the chunk dimension first."""
+    chunk = chunk or GATHER_CHUNK
+    n = args[0].shape[0]
+    if n <= chunk:
+        return fn(*args)
+    nch = -(-n // chunk)
+    pad = nch * chunk - n
+
+    def prep(x):
+        if pad:
+            x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return x.reshape(nch, chunk, *x.shape[1:])
+
+    out = jax.lax.map(lambda xs: fn(*xs),
+                      tuple(prep(x) for x in args))
+    return jax.tree.map(
+        lambda o: o.reshape(nch * chunk, *o.shape[2:])[:n], out)
+
+
 #: 2-D fields packed by build_sfc_pack, in lane order
 SFC_FIELDS = ("ps", "pbl", "ts", "zs", "cape", "cin", "pel", "plcl",
               "ess", "nss", "shf", "sst", "pt", "tt", "zt", "h2ot")
@@ -92,36 +122,39 @@ def interp_sfc_packed(met01: Met, sfc: jnp.ndarray, names, ts,
     Returns {name: [np] value} for each requested name."""
     ny = met01.fields2d[SFC_FIELDS[0]].shape[-1]
     base = loc.ix * ny + loc.iy
-    rows = jnp.take(sfc, base, axis=0)                 # [np, 128]
     dtype = loc.wy.dtype
-    wy = loc.wy
-    wx = loc.wx
     wt = interp.time_weight(met01, ts)
-    out = {}
-    for name in names:
-        f = SFC_FIELDS.index(name)
 
-        def snap(s, f=f):
-            a00 = rows[:, f * 8 + 0 + s].astype(dtype)
-            a01 = rows[:, f * 8 + 2 + s].astype(dtype)
-            a10 = rows[:, f * 8 + 4 + s].astype(dtype)
-            a11 = rows[:, f * 8 + 6 + s].astype(dtype)
-            ok = (jnp.isfinite(a00) & jnp.isfinite(a01)
-                  & jnp.isfinite(a10) & jnp.isfinite(a11))
-            aux0 = wy * (a00 - a01) + a01
-            aux1 = wy * (a10 - a11) + a11
-            bilin = wx * (aux0 - aux1) + aux1
-            nn = jnp.where(
-                wy < 0.5,
-                jnp.where(wx < 0.5, a11, a01),
-                jnp.where(wx < 0.5, a10, a00))
-            return jnp.where(ok, bilin, nn)
+    def core(base, wx, wy, wt):
+        rows = jnp.take(sfc, base, axis=0)             # [C, 128]
+        vals = []
+        for name in names:
+            f = SFC_FIELDS.index(name)
 
-        v0, v1 = snap(0), snap(1)
-        both = jnp.isfinite(v0) & jnp.isfinite(v1)
-        out[name] = jnp.where(both, wt * (v0 - v1) + v1,
-                              jnp.where(wt < 0.5, v1, v0))
-    return out
+            def snap(s, f=f):
+                a00 = rows[:, f * 8 + 0 + s].astype(dtype)
+                a01 = rows[:, f * 8 + 2 + s].astype(dtype)
+                a10 = rows[:, f * 8 + 4 + s].astype(dtype)
+                a11 = rows[:, f * 8 + 6 + s].astype(dtype)
+                ok = (jnp.isfinite(a00) & jnp.isfinite(a01)
+                      & jnp.isfinite(a10) & jnp.isfinite(a11))
+                aux0 = wy * (a00 - a01) + a01
+                aux1 = wy * (a10 - a11) + a11
+                bilin = wx * (aux0 - aux1) + aux1
+                nn = jnp.where(
+                    wy < 0.5,
+                    jnp.where(wx < 0.5, a11, a01),
+                    jnp.where(wx < 0.5, a10, a00))
+                return jnp.where(ok, bilin, nn)
+
+            v0, v1 = snap(0), snap(1)
+            both = jnp.isfinite(v0) & jnp.isfinite(v1)
+            vals.append(jnp.where(both, wt * (v0 - v1) + v1,
+                                  jnp.where(wt < 0.5, v1, v0)))
+        return jnp.stack(vals, axis=-1)                # [C, K]
+
+    stacked = map_chunks(core, (base, loc.wx, loc.wy, wt))
+    return {name: stacked[:, i] for i, name in enumerate(names)}
 
 
 def interp_t_packed64(met01: Met, w64: jnp.ndarray, ts,
@@ -131,27 +164,31 @@ def interp_t_packed64(met01: Met, w64: jnp.ndarray, ts,
     u3 = met01.fields3d["u"]
     nx, ny, npl = u3.shape[-3:]
     base = (loc.ix * ny + loc.iy) * npl + loc.iz
-    rows = jnp.take(w64, base, axis=0)
-
-    wz = loc.wz.astype(jnp.float32)[:, None]
-    wy = loc.wy.astype(jnp.float32)[:, None]
-    wx = loc.wx.astype(jnp.float32)[:, None]
-
-    def c(i):
-        return rows[:, 48 + i * 2:48 + (i + 1) * 2]
-    a00 = wz * (c(0) - c(1)) + c(1)
-    a01 = wz * (c(2) - c(3)) + c(3)
-    a10 = wz * (c(4) - c(5)) + c(5)
-    a11 = wz * (c(6) - c(7)) + c(7)
-    a0 = wy * (a00 - a01) + a01
-    a1 = wy * (a10 - a11) + a11
-    vals = wx * (a0 - a1) + a1                         # [np, 2]
-
     dtype = met01.lon.dtype
     wt = interp.time_weight(met01, ts)
-    v0 = vals[:, 0].astype(dtype)
-    v1 = vals[:, 1].astype(dtype)
-    return wt * (v0 - v1) + v1
+
+    def core(base, wxf, wyf, wzf, wt):
+        rows = jnp.take(w64, base, axis=0)
+        wz = wzf[:, None]
+        wy = wyf[:, None]
+        wx = wxf[:, None]
+
+        def c(i):
+            return rows[:, 48 + i * 2:48 + (i + 1) * 2]
+        a00 = wz * (c(0) - c(1)) + c(1)
+        a01 = wz * (c(2) - c(3)) + c(3)
+        a10 = wz * (c(4) - c(5)) + c(5)
+        a11 = wz * (c(6) - c(7)) + c(7)
+        a0 = wy * (a00 - a01) + a01
+        a1 = wy * (a10 - a11) + a11
+        vals = wx * (a0 - a1) + a1                     # [C, 2]
+        v0 = vals[:, 0].astype(dtype)
+        v1 = vals[:, 1].astype(dtype)
+        return wt * (v0 - v1) + v1
+
+    return map_chunks(core, (base, loc.wx.astype(jnp.float32),
+                             loc.wy.astype(jnp.float32),
+                             loc.wz.astype(jnp.float32), wt))
 
 
 def build_advect_pack(met01: Met) -> jnp.ndarray:
@@ -231,28 +268,32 @@ def interp_uvw_packed64(met01: Met, pack64: jnp.ndarray, ts,
     u3 = met01.fields3d["u"]
     nx, ny, npl = u3.shape[-3:]
     base = (loc.ix * ny + loc.iy) * npl + loc.iz
-    rows = jnp.take(pack64, base, axis=0)              # [np, 64] f32
-
-    wz = loc.wz.astype(jnp.float32)[:, None]
-    wy = loc.wy.astype(jnp.float32)[:, None]
-    wx = loc.wx.astype(jnp.float32)[:, None]
-
-    def c(i):
-        return rows[:, i * 6:(i + 1) * 6]
-    a00 = wz * (c(0) - c(1)) + c(1)
-    a01 = wz * (c(2) - c(3)) + c(3)
-    a10 = wz * (c(4) - c(5)) + c(5)
-    a11 = wz * (c(6) - c(7)) + c(7)
-    a0 = wy * (a00 - a01) + a01
-    a1 = wy * (a10 - a11) + a11
-    vals = wx * (a0 - a1) + a1                         # [np, 6]
-
     dtype = met01.lon.dtype
     t0, t1 = met01.time[0], met01.time[1]
     wt = ((t1 - ts) / (t1 - t0)).astype(dtype)
-    v0 = vals[:, 0:3].astype(dtype)
-    v1 = vals[:, 3:6].astype(dtype)
-    out = wt[:, None] * (v0 - v1) + v1
+
+    def core(base, wxf, wyf, wzf, wt):
+        rows = jnp.take(pack64, base, axis=0)          # [C, 64] f32
+        wz = wzf[:, None]
+        wy = wyf[:, None]
+        wx = wxf[:, None]
+
+        def c(i):
+            return rows[:, i * 6:(i + 1) * 6]
+        a00 = wz * (c(0) - c(1)) + c(1)
+        a01 = wz * (c(2) - c(3)) + c(3)
+        a10 = wz * (c(4) - c(5)) + c(5)
+        a11 = wz * (c(6) - c(7)) + c(7)
+        a0 = wy * (a00 - a01) + a01
+        a1 = wy * (a10 - a11) + a11
+        vals = wx * (a0 - a1) + a1                     # [C, 6]
+        v0 = vals[:, 0:3].astype(dtype)
+        v1 = vals[:, 3:6].astype(dtype)
+        return wt[:, None] * (v0 - v1) + v1            # [C, 3]
+
+    out = map_chunks(core, (base, loc.wx.astype(jnp.float32),
+                            loc.wy.astype(jnp.float32),
+                            loc.wz.astype(jnp.float32), wt))
     return out[:, 0], out[:, 1], out[:, 2]
 
 

@@ -147,26 +147,30 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
     if pack is not None and pack.shape[-1] == 64:
         # The 64-wide corner row already holds all 8 corners x 2
         # snapshots: the whole 16-point stencil is ONE gather offset
-        # per parcel (see build_advect_pack64).
+        # per parcel (see build_advect_pack64).  Chunked so the
+        # gathered rows stay bounded at 100M parcels.
+        from mptrac_tpu.ops.fast_interp import map_chunks
         base = (ix * ny + iy) * npl + iz
-        rows = jnp.take(pack, base, axis=0)          # [np, 64] f32
 
-        def sig64(comp):
-            mean = jnp.zeros(n, jnp.float32)
-            msq = jnp.zeros(n, jnp.float32)
-            for c in range(8):
-                for lane in (c * 6 + comp, c * 6 + 3 + comp):
-                    val = rows[:, lane]
-                    mean = mean + val
-                    msq = msq + val * val
-            var = (msq / jnp.float32(16.0)
-                   - (mean / jnp.float32(16.0)) ** 2)
-            return jnp.where(var > 0, jnp.sqrt(var),
-                             0.0).astype(jnp.float32)
+        def sig_core(base):
+            rows = jnp.take(pack, base, axis=0)      # [C, 64] f32
+            sigs = []
+            for comp in range(3):
+                mean = jnp.zeros(base.shape[0], jnp.float32)
+                msq = jnp.zeros(base.shape[0], jnp.float32)
+                for c in range(8):
+                    for lane in (c * 6 + comp, c * 6 + 3 + comp):
+                        val = rows[:, lane]
+                        mean = mean + val
+                        msq = msq + val * val
+                var = (msq / jnp.float32(16.0)
+                       - (mean / jnp.float32(16.0)) ** 2)
+                sigs.append(jnp.where(var > 0, jnp.sqrt(var),
+                                      0.0).astype(jnp.float32))
+            return jnp.stack(sigs, axis=-1)          # [C, 3]
 
-        usig = sig64(0)
-        vsig = sig64(1)
-        wsig = sig64(2)
+        sig = map_chunks(sig_core, (base,))
+        usig, vsig, wsig = sig[:, 0], sig[:, 1], sig[:, 2]
     elif pack is not None:
         # One wide-row gather serves all three components and both
         # snapshots; the sequential corner/snapshot accumulation order
