@@ -259,6 +259,8 @@ class Ctl:
     met_sz3_prec: tuple = (11, 7, 7, 7, 13, 7, 18, 10, 13, 13, 13,
                            13, 6)
     met_sz3_tol: tuple = (0.0,) * 13
+    met_zfp_prec: tuple = (12, 11, 7, 7, 6, 7, 10, 9, 6, 6, 6, 6, 9)
+    met_zfp_tol: tuple = (0.0,) * 13
     met_cms_eps: tuple = (0.01,) * 13
     met_cms_zstd: int = 1
     met_cms_maxlev: int = 6
@@ -581,6 +583,13 @@ def read_ctl(filename: Optional[str], args: Sequence[str] = ()) -> Ctl:
         for i in range(13))
     kw["met_sz3_tol"] = tuple(
         s.scan_float("MET_SZ3_TOL", i, "0.0") for i in range(13))
+    _zfp_defprec = ("12", "11", "7", "7", "6", "7", "10", "9", "6",
+                    "6", "6", "6", "9")
+    kw["met_zfp_prec"] = tuple(
+        s.scan_int("MET_ZFP_PREC", i, _zfp_defprec[i])
+        for i in range(13))
+    kw["met_zfp_tol"] = tuple(
+        s.scan_float("MET_ZFP_TOL", i, "0.0") for i in range(13))
     kw["met_cms_eps"] = tuple(
         s.scan_float("MET_CMS_EPS", i, "0.01") for i in range(13))
     kw["met_cms_zstd"] = s.scan_int("MET_CMS_ZSTD", -1, "1")

@@ -8,11 +8,11 @@ compress_zstd (c:1624-1740).
 Supported met_type codecs: 1 = raw float, 2 = PCK (+MET_PCK_ZSTD outer
 zstd), 4 = ZSTD of the raw float stream, 8 = LZ4 raw blocks
 (compress_lz4 c:1740, native codec in native/lz4codec.cc),
-5 = CMS-style multiscale and 7 = SZ3-style predict+quantize lossy
-codecs (met.lossy — the reference's external-library slots rebuilt as
-self-contained vectorized formats, compress_cms c:468 /
-compress_sz3 c:1261).  Type 3 (ZFP) errors out like a reference build
-compiled without that optional codec (c:7881-7904).  Layout of 3-D
+3 = ZFP-style block transform, 5 = CMS-style multiscale and
+7 = SZ3-style predict+quantize lossy codecs (met.lossy — the
+reference's external-library slots rebuilt as self-contained
+vectorized formats, compress_zfp c:1447 / compress_cms c:468 /
+compress_sz3 c:1261).  Layout of 3-D
 payloads is [ixy, iz] (level-fastest), matching the reference's ARRAY
 layout.
 """
@@ -30,7 +30,7 @@ from mptrac_tpu.types import MET_2D_FIELDS, MET_3D_FIELDS, Met
 PCK_ZSTD_MAGIC = 0x50434B5A53544431
 
 #: optional codecs absent from this build (reference c:7881-7904)
-_UNSUPPORTED = {3: "ZFP"}
+_UNSUPPORTED = {}
 
 
 def _check_codec(met_type: int) -> None:
@@ -108,7 +108,7 @@ def write_met_bin(filename: str, met: Met, met_type: int = 1,
     met_type 5/7 (defaults used when omitted)."""
     _check_codec(met_type)
     ctl_codec = ctl
-    if ctl_codec is None and met_type in (5, 7):
+    if ctl_codec is None and met_type in (3, 5, 7):
         from mptrac_tpu.config import read_ctl
         ctl_codec = read_ctl(None, ["MET_TYPE", str(met_type),
                                     "METBASE", "-"])
@@ -160,6 +160,13 @@ def write_met_bin(filename: str, met: Met, met_type: int = 1,
                 _log_codec(name, "CMS", flat.size, len(payload),
                            verbose)
                 f.write(payload)
+            elif met_type == 3:
+                from mptrac_tpu.met import lossy
+                payload = lossy.zfp_compress(ctl_codec, name, flat,
+                                             nx, ny)
+                _log_codec(name, "ZFP", flat.size, len(payload),
+                           verbose)
+                f.write(payload)
             else:
                 raise NotImplementedError(f"MET_TYPE {met_type}")
         f.write(struct.pack("<i", 999))
@@ -208,6 +215,9 @@ def read_met_bin(filename: str, ctl) -> Dict[str, object]:
             elif met_type == 5:
                 from mptrac_tpu.met import lossy
                 flat = lossy.cms_decompress(f, nx, ny, npl)
+            elif met_type == 3:
+                from mptrac_tpu.met import lossy
+                flat = lossy.zfp_decompress(f, nx, ny, npl)
             else:
                 raise NotImplementedError(f"MET_TYPE {met_type}")
             f3[name] = np.clip(flat.reshape(nx, ny, npl), lo, hi)

@@ -83,6 +83,51 @@ def localize(tree):
     return jax.tree.map(one, tree)
 
 
+def read_met_shared(filename: str, ctl, clim=None):
+    """MET_MPI_SHARE analog (reference c:45-70, 7528-7540): process 0
+    reads + preprocesses the met snapshot, every other process
+    receives the finished fields via a broadcast instead of touching
+    the filesystem — for shared filesystems that collapse under
+    N-process reads."""
+    from jax.experimental import multihost_utils
+
+    from mptrac_tpu.met.build import read_met
+    from mptrac_tpu.types import Met
+
+    import json as _json
+
+    if jax.process_index() == 0:
+        met = read_met(filename, ctl, clim)
+        leaves, _ = jax.tree.flatten(jax.tree.map(np.asarray, met))
+        shapes = [(list(x.shape), str(x.dtype)) for x in leaves]
+        meta = dict(shapes=shapes, npl_ml=int(met.npl_ml),
+                    coord_type=int(met.coord_type))
+        payload = np.frombuffer(
+            _json.dumps(meta).encode().ljust(65536), np.uint8).copy()
+    else:
+        leaves = None
+        payload = np.zeros(65536, np.uint8)
+    meta = _json.loads(bytes(np.asarray(
+        multihost_utils.broadcast_one_to_all(payload))).decode()
+        .rstrip("\x00").strip())
+    # one collective per leaf keeps peak memory at a single field
+    out_leaves = []
+    for i, (shape, dtype) in enumerate(meta["shapes"]):
+        src = (leaves[i] if leaves is not None
+               else np.zeros(shape, dtype))
+        out_leaves.append(np.asarray(
+            multihost_utils.broadcast_one_to_all(jnp.asarray(src))))
+    # Met's pytree structure is deterministic (dict keys sorted by
+    # jax.tree), so a skeleton with the same key sets and aux values
+    # unflattens process 0's leaves on every rank
+    from mptrac_tpu.types import MET_2D_FIELDS, MET_3D_FIELDS, Met
+    skel = Met(time=0, lon=0, lat=0, p=0, hybrid=0,
+               fields2d={k: 0 for k in MET_2D_FIELDS},
+               fields3d={k: 0 for k in MET_3D_FIELDS},
+               coord_type=meta["coord_type"], npl_ml=meta["npl_ml"])
+    return jax.tree.unflatten(jax.tree.structure(skel), out_leaves)
+
+
 def allsum_scalar(x: float) -> float:
     """Sum a host scalar over processes (diagnostic counters)."""
     from jax.experimental import multihost_utils

@@ -43,9 +43,15 @@ ctl = read_ctl(None, [
     "DD_SUBDOMAINS_MERIDIONAL", "1", "DD_HALOS_SIZE", "2"])
 clim = read_clim(ctl)
 
-# Global axes from file metadata only; per-rank hyperslab tile reads
+# MET_MPI_SHARE analog: rank 0 reads, everyone receives the broadcast
 from mptrac_tpu.met.build import read_met
+met_shared = multihost.read_met_shared(
+    os.path.join(metdir, "wind_2000_01_01_00.nc"), ctl)
 met_glob = read_met(os.path.join(metdir, "wind_2000_01_01_00.nc"), ctl)
+np.testing.assert_allclose(
+    np.asarray(met_shared.fields3d["u"]),
+    np.asarray(met_glob.fields3d["u"]), atol=0)
+assert float(met_shared.time) == float(met_glob.time)
 dd = ddm.plan_decomposition(ctl, met_glob, ndev=nproc)
 lat_glob = np.asarray(met_glob.lat)
 

@@ -124,13 +124,7 @@ def test_wind_tool_and_met_roundtrip(tmp_path):
         # binary stores the preprocessed grid (with wrap column)
         np.testing.assert_allclose(u2, u, atol=max(tol * 40, 1e-6))
 
-    # optional codecs absent from this build error like the reference
-    # compiled without them (mptrac.c:7881-7904)
-    from mptrac_tpu.met.bin_io import write_met_bin
-    for met_type in (3,):
-        with pytest.raises(NotImplementedError, match="compression"):
-            write_met_bin(str(tmp_path / "x.bin"), met,
-                          met_type=met_type)
+
 
 
 def test_lossy_codecs_roundtrip(tmp_path):
@@ -144,7 +138,8 @@ def test_lossy_codecs_roundtrip(tmp_path):
     from mptrac_tpu.met.synthetic import make_wind_met
 
     met = make_wind_met(nx=36, ny=19, nz=8)
-    for met_type, scale in ((7, 0), (7, 1), (5, 0), (5, 1)):
+    for met_type, scale in ((7, 0), (7, 1), (5, 0), (5, 1), (3, 0),
+                            (3, 1)):
         args = ["NQ", "0", "METBASE", "-", "MET_TYPE", str(met_type),
                 "T_STOP", "1", "MET_LOSSY_SCALE", str(scale)]
         ctl = read_ctl(None, args)
@@ -159,6 +154,10 @@ def test_lossy_codecs_roundtrip(tmp_path):
             if met_type == 7:
                 # |err| <= step; prec mode step = range * 2^-prec
                 bound = rng * 0.5 ** ctl.met_sz3_prec[mv]
+            elif met_type == 3:
+                # block scale <= 2*|max|; Haar gain <= 2 per axis
+                mag = max(abs(a).max(), 1e-30)
+                bound = 16.0 * mag * 0.5 ** ctl.met_zfp_prec[mv]
             else:
                 # Haar thresholding: err ~ eps*range per level
                 bound = rng * ctl.met_cms_eps[mv] \
