@@ -51,6 +51,12 @@ def main():
                          "fast path (default; see --f64)")
     ap.add_argument("--f64", dest="fp32", action="store_false",
                     help="float64 compute mode (reference parity)")
+    ap.add_argument("--phys", default=os.environ.get("BENCH_PHYS",
+                                                      "base"),
+                    choices=["base", "conv", "chem", "full"],
+                    help="physics ladder config (BASELINE.md): conv "
+                         "adds convection; chem adds OH/H2O2 "
+                         "chemistry + wet/dry deposition")
     ap.add_argument("--scan", type=int,
                     default=int(os.environ.get("BENCH_SCAN", 10)),
                     metavar="K",
@@ -95,7 +101,8 @@ def main():
 
     phase("imports done")
     ctl, clim, met01, atm, cache = g._make_setup(
-        args.n_parcels, nx=args.nx, ny=args.ny, nz=args.nz)
+        args.n_parcels, nx=args.nx, ny=args.ny, nz=args.nz,
+        phys=args.phys)
     phase("setup built")
     if args.fp32:
         from mptrac_tpu.types import astype_state
@@ -187,6 +194,8 @@ def main():
         "unit": "parcel-steps/s",
         "vs_baseline": rate / n_dev / BASELINE_PARCEL_STEPS_S,
     }
+    if args.phys != "base":
+        result["metric"] += f"_{args.phys}"
     print(json.dumps(result))
     return 0
 

@@ -179,36 +179,48 @@ def clim_tropo(clim: Clim, t, lat):
     from mptrac_tpu.ops.interp import take_small
     sec = t - jnp.floor(t / _YEAR_S) * _YEAR_S
     sec = jnp.where(sec < 0, sec + _YEAR_S, sec)
-    isec = locate_irr(clim.tropo_time, sec)
-    ilat = locate_reg(clim.tropo_lat, lat)
-    la0 = take_small(clim.tropo_lat, ilat)
-    la1 = take_small(clim.tropo_lat, ilat + 1)
-    wlat = (lat - la0) / (la1 - la0)
-    # Gather-free corner lookups (an XLA gather costs ~15 ms at 2M
-    # parcels).  Separable one-hot selection: the month axis rides a
-    # [np, 12] @ [12, 73] matmul (exact — one nonzero per row), the
-    # lat axis a fused masked reduce over the resulting row.
-    nt, nl = clim.tropo.shape
-    jt = jnp.arange(nt, dtype=jnp.int32)
-    jl = jnp.arange(nl, dtype=jnp.int32)
-    tdt = clim.tropo.dtype
-    oh_t0 = (isec[..., None] == jt).astype(tdt)     # [np, nt]
-    oh_t1 = (isec[..., None] == jt - 1).astype(tdt)
-    r0 = oh_t0 @ clim.tropo                         # [np, nl]
-    r1 = oh_t1 @ clim.tropo
-    ml0 = ilat[..., None] == jl                     # [np, nl]
-    ml1 = ilat[..., None] == jl - 1
-    p00 = jnp.sum(jnp.where(ml0, r0, 0), axis=-1)
-    p01 = jnp.sum(jnp.where(ml1, r0, 0), axis=-1)
-    p10 = jnp.sum(jnp.where(ml0, r1, 0), axis=-1)
-    p11 = jnp.sum(jnp.where(ml1, r1, 0), axis=-1)
-    p0 = p00 + wlat * (p01 - p00)
-    p1 = p10 + wlat * (p11 - p10)
-    t0 = take_small(clim.tropo_time, isec)
-    t1 = take_small(clim.tropo_time, isec + 1)
-    out = p0 + (p1 - p0) / (t1 - t0) * (sec - t0)
+    lat = jnp.asarray(lat)
+    sec = jnp.broadcast_to(jnp.asarray(sec), lat.shape)
+
+    def core(sec, lat):
+        isec = locate_irr(clim.tropo_time, sec)
+        ilat = locate_reg(clim.tropo_lat, lat)
+        la0 = take_small(clim.tropo_lat, ilat)
+        la1 = take_small(clim.tropo_lat, ilat + 1)
+        wlat = (lat - la0) / (la1 - la0)
+        # Gather-free corner lookups (an XLA gather costs ~15 ms at
+        # 2M parcels).  Separable one-hot selection: the month axis
+        # rides a [C, 12] @ [12, 73] matmul (exact — one nonzero per
+        # row), the lat axis a fused masked reduce over the resulting
+        # row.  Chunked: the [C, 73] intermediates would be tens of
+        # GB at 100M parcels.
+        nt, nl = clim.tropo.shape
+        jt = jnp.arange(nt, dtype=jnp.int32)
+        jl = jnp.arange(nl, dtype=jnp.int32)
+        tdt = clim.tropo.dtype
+        oh_t0 = (isec[..., None] == jt).astype(tdt)     # [C, nt]
+        oh_t1 = (isec[..., None] == jt - 1).astype(tdt)
+        r0 = oh_t0 @ clim.tropo                         # [C, nl]
+        r1 = oh_t1 @ clim.tropo
+        ml0 = ilat[..., None] == jl                     # [C, nl]
+        ml1 = ilat[..., None] == jl - 1
+        p00 = jnp.sum(jnp.where(ml0, r0, 0), axis=-1)
+        p01 = jnp.sum(jnp.where(ml1, r0, 0), axis=-1)
+        p10 = jnp.sum(jnp.where(ml0, r1, 0), axis=-1)
+        p11 = jnp.sum(jnp.where(ml1, r1, 0), axis=-1)
+        p0 = p00 + wlat * (p01 - p00)
+        p1 = p10 + wlat * (p11 - p10)
+        t0 = take_small(clim.tropo_time, isec)
+        t1 = take_small(clim.tropo_time, isec + 1)
+        return p0 + (p1 - p0) / (t1 - t0) * (sec - t0)
+
+    if lat.ndim == 1:
+        from mptrac_tpu.ops.fast_interp import map_chunks
+        out = map_chunks(core, (sec, lat))
+    else:
+        out = core(sec, lat)
     # fp32 mode: follow the caller's latitude dtype (f64 is a no-op)
-    return out.astype(jnp.asarray(lat).dtype)
+    return out.astype(lat.dtype)
 
 
 def clim_tropo_np(clim, t, lat):
