@@ -107,9 +107,12 @@ def main():
     if args.fp32:
         from mptrac_tpu.types import astype_state
         atm, cache, met01, clim = astype_state(atm, cache, met01, clim)
-    # Explicit device residency: on networked TPU backends, arrays that
-    # are merely "committed" can otherwise be re-staged per dispatch.
-    met01, atm, cache, clim = jax.device_put((met01, atm, cache, clim))
+    # Explicit device residency for the small constants (met, clim):
+    # on networked TPU backends merely-committed arrays can be
+    # re-staged per dispatch.  The parcel state is NOT device_put —
+    # the copy would transiently double ~10 GB at 100M parcels; it is
+    # donated into the step instead.
+    met01, clim = jax.device_put((met01, clim))
 
     pack = None
     if not args.exact:

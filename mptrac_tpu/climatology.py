@@ -179,8 +179,9 @@ def clim_tropo(clim: Clim, t, lat):
     from mptrac_tpu.ops.interp import take_small
     sec = t - jnp.floor(t / _YEAR_S) * _YEAR_S
     sec = jnp.where(sec < 0, sec + _YEAR_S, sec)
-    lat = jnp.asarray(lat)
-    sec = jnp.broadcast_to(jnp.asarray(sec), lat.shape)
+    shape = jnp.broadcast_shapes(jnp.shape(sec), jnp.shape(lat))
+    lat = jnp.broadcast_to(jnp.asarray(lat), shape)
+    sec = jnp.broadcast_to(jnp.asarray(sec), shape)
 
     def core(sec, lat):
         isec = locate_irr(clim.tropo_time, sec)

@@ -1,5 +1,5 @@
-"""Slab-DMA Pallas interpolation kernel (interpret mode) must match
-the XLA packed-gather path exactly (same f32 arithmetic order)."""
+"""Pallas interpolation kernels (interpret mode) must match the XLA
+packed-gather path exactly (same f32 arithmetic order)."""
 
 import jax
 import jax.numpy as jnp
@@ -70,3 +70,49 @@ def test_slab_kernel_flags_out_of_slab():
     # random bases over 50k cells with 2k slabs: most must be flagged
     assert ok.mean() < 0.5
     assert np.isfinite(np.asarray(uvw)).all()
+
+
+def test_lane_kernel_matches_packed():
+    """Lane-gather kernel (ops.lane_interp): interp + meso sigma agree
+    with the row-major fallback arithmetic to f32 fma-contraction
+    tolerance; stragglers (unsorted parcels, tiny cap) are recovered
+    by the fallback."""
+    from mptrac_tpu.ops import lane_interp as L
+
+    ncell = 40_000
+    n = 20_000
+    rng = np.random.default_rng(0)
+    pack64 = jnp.asarray(
+        rng.standard_normal((ncell, 64)).astype(np.float32))
+    ncellp = -(-ncell // 128) * 128
+    packT = jnp.pad(pack64.T, ((0, 0), (0, ncellp - ncell)))
+    tables = L.LaneTables(packT=packT, pack64=pack64)
+
+    base_np = np.sort(rng.integers(0, ncell - 1, n)).astype(np.int32)
+    base = jnp.asarray(base_np)
+    w = jnp.asarray(rng.random((4, n)), jnp.float32)
+
+    uvw, tt, frac = L.interp_uvwt_sorted(tables, base, w, nwin=4,
+                                         interpret=True)
+    ref_rows = jnp.take(pack64, base, axis=0)
+    ref_uvw, ref_t = L._interp_rows(ref_rows, w)
+    assert float(frac) > 0.99
+    np.testing.assert_allclose(np.asarray(uvw), np.asarray(ref_uvw),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tt), np.asarray(ref_t),
+                               atol=2e-6, rtol=1e-5)
+
+    sig, frac2 = L.meso_sigma_sorted(tables, base, nwin=4,
+                                     interpret=True)
+    ref_sig = L._meso_rows(ref_rows)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig),
+                               atol=2e-6, rtol=1e-4)
+
+    # unsorted worst case: everything straggles, fallback covers all
+    basep = jnp.asarray(rng.permutation(base_np)[:2000])
+    wp = w[:, :2000]
+    uvw_u, t_u, _ = L.interp_uvwt_sorted(tables, basep, wp, nwin=4,
+                                         cap_frac=1, interpret=True)
+    ref_u, ref_tu = L._interp_rows(jnp.take(pack64, basep, axis=0), wp)
+    np.testing.assert_allclose(np.asarray(uvw_u), np.asarray(ref_u),
+                               atol=2e-6, rtol=1e-5)
