@@ -66,7 +66,10 @@ def shard_cache(cache: Cache, mesh: Mesh, axis: str = "dp") -> Cache:
         uvwp=jax.device_put(cache.uvwp, uvwp_s),
         dt=jax.device_put(cache.dt, ps),
         rng_ctr=jax.device_put(cache.rng_ctr, rep),
-        iso_var=jax.device_put(cache.iso_var, ps),
+        # iso_var may be the [1] placeholder when ISOSURF is off
+        iso_var=jax.device_put(
+            cache.iso_var,
+            ps if cache.iso_var.shape == cache.dt.shape else rep),
         iso_ps=jax.device_put(cache.iso_ps, rep),
         iso_ts=jax.device_put(cache.iso_ts, rep),
         iso_n=jax.device_put(cache.iso_n, rep))

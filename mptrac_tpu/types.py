@@ -94,12 +94,16 @@ class Cache:
     iso_n: jnp.ndarray         # int32 scalar
 
     @staticmethod
-    def zeros(npmax: int, dtype=jnp.float64, iso_nmax: int = 1) -> "Cache":
+    def zeros(npmax: int, dtype=jnp.float64, iso_nmax: int = 1,
+              iso_npmax: int = None) -> "Cache":
+        """``iso_npmax`` sizes the per-particle isosurface variable;
+        pass 1 when ISOSURF is off (saves 400 MB at 100M parcels)."""
         return Cache(
             uvwp=jnp.zeros((3, npmax), jnp.float32),
             dt=jnp.zeros(npmax, dtype),
             rng_ctr=jnp.asarray(0, jnp.uint64),
-            iso_var=jnp.zeros(npmax, dtype),
+            iso_var=jnp.zeros(npmax if iso_npmax is None
+                              else iso_npmax, dtype),
             iso_ps=jnp.zeros(iso_nmax, dtype),
             iso_ts=jnp.zeros(iso_nmax, dtype),
             iso_n=jnp.asarray(0, jnp.int32),
