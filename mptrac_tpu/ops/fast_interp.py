@@ -51,7 +51,7 @@ class MetPack(NamedTuple):
 #: gathered rows ([np, 64/128] f32 — tens of GB at 100M parcels), so
 #: the packed-interp kernels map over chunks of this many parcels
 import os as _os
-GATHER_CHUNK = int(_os.environ.get("MPTRAC_GATHER_CHUNK", 8_388_608))
+GATHER_CHUNK = int(_os.environ.get("MPTRAC_GATHER_CHUNK", 2_097_152))
 
 
 def map_chunks(fn, args, chunk=None):
