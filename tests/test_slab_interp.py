@@ -1,0 +1,142 @@
+"""Production slab-gather kernel (ops.slab_interp, interpret mode):
+all three modes must match the XLA packed-gather paths exactly (same
+f32 arithmetic order), with stragglers recovered by the fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mptrac_tpu import stack_met
+from mptrac_tpu.met.synthetic import make_wind_met
+from mptrac_tpu.ops import interp
+from mptrac_tpu.ops import slab_interp as SL
+
+
+def _setup(n=24576, seed=3, nx=60, ny=31, nz=10):
+    met01 = stack_met(
+        make_wind_met(t0=0.0, alpha=30.0, nx=nx, ny=ny, nz=nz),
+        make_wind_met(t0=86400.0, alpha=30.0, nx=nx, ny=ny, nz=nz))
+    rng = np.random.default_rng(seed)
+    lon = jnp.asarray(rng.uniform(-180, 180, n))
+    lat = jnp.asarray(rng.uniform(-85, 85, n))
+    p = jnp.asarray(rng.uniform(120, 950, n))
+    ts = jnp.full(n, 43200.0)
+    met0 = jax.tree.map(lambda x: x[0], met01)
+    loc = interp.locate_3d(met0, lon, lat, p)
+    return met01, loc, ts
+
+
+def test_uvwt_matches_packed64():
+    met01, loc, ts = _setup()
+    from mptrac_tpu.ops.fast_interp import (build_advect_pack64,
+                                            interp_uvw_packed64,
+                                            interp_t_packed64)
+    pack64 = build_advect_pack64(met01)
+    tables = SL.build_slab_tables(met01, sfc=False)
+    ny = met01.lat.shape[-1]
+    npl = met01.p.shape[-1]
+
+    u_ref, v_ref, w_ref = interp_uvw_packed64(met01, pack64, ts, loc)
+    t_ref = interp_t_packed64(met01, pack64, ts, loc)
+
+    base = ((loc.ix * ny + loc.iy) * npl + loc.iz).astype(jnp.int32)
+    order = jnp.argsort(base)
+    wt = (met01.time[1] - ts) / (met01.time[1] - met01.time[0])
+    w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]
+                   ).astype(jnp.float32)[:, order]
+
+    out, served = SL.interp_uvwt(tables, base[order], w4,
+                                 interpret=True)
+    assert float(served) > 0.9
+    ref = np.stack([np.asarray(u_ref), np.asarray(v_ref),
+                    np.asarray(w_ref), np.asarray(t_ref)]
+                   )[:, np.asarray(order)]
+    # f64 parity-path wt vs kernel f32 wt: one-ulp slack
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref,
+                               rtol=3e-6, atol=2e-5)
+
+
+def test_uvwt_unsorted_recovered_by_fallback():
+    """Random (unsorted) parcels must still come out exact as long as
+    the fallback cap covers the stragglers."""
+    met01, loc, ts = _setup(n=4096, seed=11)
+    from mptrac_tpu.ops.fast_interp import (build_advect_pack64,
+                                            interp_uvw_packed64)
+    pack64 = build_advect_pack64(met01)
+    tables = SL.build_slab_tables(met01, sfc=False)
+    ny = met01.lat.shape[-1]
+    npl = met01.p.shape[-1]
+    u_ref, v_ref, w_ref = interp_uvw_packed64(met01, pack64, ts, loc)
+    base = ((loc.ix * ny + loc.iy) * npl + loc.iz).astype(jnp.int32)
+    wt = (met01.time[1] - ts) / (met01.time[1] - met01.time[0])
+    w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]).astype(jnp.float32)
+    out, served = SL.interp_uvwt(tables, base, w4, cap_frac=1,
+                                 interpret=True)
+    ref = np.stack([np.asarray(u_ref), np.asarray(v_ref),
+                    np.asarray(w_ref)])
+    np.testing.assert_allclose(np.asarray(out[:3], np.float64), ref,
+                               rtol=3e-6, atol=2e-5)
+
+
+def test_meso_matches_pack64_path():
+    met01, loc, ts = _setup(n=16384, seed=5)
+    from mptrac_tpu.ops.fast_interp import build_advect_pack64
+    pack64 = build_advect_pack64(met01)
+    tables = SL.build_slab_tables(met01, sfc=False)
+    ny = met01.lat.shape[-1]
+    npl = met01.p.shape[-1]
+    base = ((loc.ix * ny + loc.iy) * npl + loc.iz).astype(jnp.int32)
+    order = jnp.argsort(base)
+    base_s = base[order]
+
+    # reference: diffusion.py pack64 sigma arithmetic
+    rows = jnp.take(pack64, base_s, axis=0)
+    sig_ref = []
+    for comp in range(3):
+        mean = jnp.zeros(rows.shape[0], jnp.float32)
+        msq = jnp.zeros(rows.shape[0], jnp.float32)
+        for c in range(8):
+            for lane in (c * 6 + comp, c * 6 + 3 + comp):
+                val = rows[:, lane]
+                mean = mean + val
+                msq = msq + val * val
+        var = (msq / jnp.float32(16.0)
+               - (mean / jnp.float32(16.0)) ** 2)
+        sig_ref.append(jnp.where(var > 0, jnp.sqrt(var), 0.0))
+    sig_ref = np.stack([np.asarray(s) for s in sig_ref])
+
+    sig, served = SL.meso_sigma(tables, base_s, cap_frac=4,
+                                interpret=True)
+    assert float(served) > 0.8
+    # var = msq - mean^2 cancels ~6 digits on smooth wind fields, so
+    # 0.5-ulp fma-contraction differences between the two graphs are
+    # amplified; sigma only scales stochastic noise, so compare loosely
+    np.testing.assert_allclose(np.asarray(sig, np.float64), sig_ref,
+                               rtol=1e-2, atol=2e-3)
+
+
+def test_sfc_matches_sfc_packed():
+    met01, loc, ts = _setup(n=16384, seed=7)
+    from mptrac_tpu.ops.fast_interp import (build_sfc_pack,
+                                            interp_sfc_packed)
+    sfc = build_sfc_pack(met01)
+    tables = SL.build_slab_tables(met01, wind=False)
+    ny = met01.lat.shape[-1]
+
+    names = ("ps", "pbl", "ts", "zs")
+    ref = interp_sfc_packed(met01, sfc, names, ts, loc)
+
+    basexy = (loc.ix * ny + loc.iy).astype(jnp.int32)
+    order = jnp.argsort(basexy)
+    wt = (met01.time[1] - ts) / (met01.time[1] - met01.time[0])
+    w4 = jnp.stack([loc.wx, loc.wy, wt, jnp.zeros_like(wt)]
+                   ).astype(jnp.float32)[:, order]
+    out, served = SL.interp_sfc(tables, basexy[order], w4,
+                                interpret=True)
+    assert float(served) > 0.9
+    for name in names:
+        i = SL.SFC_FIELDS.index(name)
+        np.testing.assert_allclose(
+            np.asarray(out[i], np.float64),
+            np.asarray(ref[name])[np.asarray(order)],
+            rtol=3e-6, atol=2e-5)
