@@ -45,6 +45,10 @@ def main():
                          "offsets/parcel) instead of the 64-wide "
                          "corner table (1 offset/parcel); 8x less "
                          "table memory, ~8x slower gathers")
+    ap.add_argument("--no-lane", action="store_true",
+                    help="disable the sorted Pallas slab-gather "
+                         "kernel (ops.slab_interp) and use the XLA "
+                         "row-gather tables instead")
     ap.add_argument("--fp32", action="store_true", default=True,
                     help="float32 compute mode (positions/quantities/"
                          "met axes; time stays float64) — the TPU "
@@ -135,16 +139,28 @@ def run_flagship(args, g, pipeline, jnp, jax, phase):
     met01, clim = jax.device_put((met01, clim))
 
     pack = None
+    lane = False
     if not args.exact:
+        import functools
+
         from mptrac_tpu.ops.fast_interp import (MetPack,
                                                 build_advect_pack,
                                                 build_met_pack)
         if args.pack8:
             pack = MetPack(w64=jax.jit(build_advect_pack)(met01))
         else:
-            pack = jax.jit(build_met_pack)(met01)
+            lane = not args.no_lane and args.fp32
+            pack = jax.jit(functools.partial(build_met_pack,
+                                             lane=lane))(met01)
         jax.block_until_ready(pack)
-        phase("met pack built")
+        phase("met pack built" + (" (lane tables)" if lane else ""))
+
+    # The slab kernel needs spatially sorted parcels (reference
+    # module_sort, c:5699); re-sorted once per timed block (~ SORT_DT)
+    sort_fn = None
+    if lane:
+        from mptrac_tpu.ops.sort import module_sort
+        sort_fn = jax.jit(module_sort, donate_argnums=(1, 2))
 
     def fetch(a, c):
         # Force full execution: block_until_ready alone does not drain
@@ -173,6 +189,8 @@ def run_flagship(args, g, pipeline, jnp, jax, phase):
         k = args.scan
 
         def step_block(a, c, i0):
+            if sort_fn is not None:
+                a, c = sort_fn(met01, a, c)
             ts = (jnp.arange(k, dtype=jnp.float64) + i0 + 1) \
                 * ctl.dt_mod
             if pack is not None:
@@ -199,12 +217,16 @@ def run_flagship(args, g, pipeline, jnp, jax, phase):
                 ctl, clim, m, a, c, t, pack=p))
 
         # Warmup / compile
+        if sort_fn is not None:
+            atm, cache = sort_fn(met01, atm, cache)
         t = jnp.asarray(ctl.dt_mod, jnp.float64)
         a, c = step(met01, atm, cache, t, pack)
         fetch(a, c)
 
         t0 = time.time()
         for i in range(args.steps):
+            if sort_fn is not None and i % 10 == 0:
+                a, c = sort_fn(met01, a, c)
             t = jnp.asarray((i + 2) * ctl.dt_mod, jnp.float64)
             a, c = step(met01, a, c, t, pack)
         fetch(a, c)

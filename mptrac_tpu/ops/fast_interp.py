@@ -38,12 +38,18 @@ class MetPack(NamedTuple):
     - ``sfc``:  [nx*ny, 128] — 16 surface fields x 4 corners x 2
       snapshots (build_sfc_pack); one offset per parcel serves every
       2-D interpolation of a module.
+    - ``packT``/``sfcT``: the transposed tables of the sorted Pallas
+      slab-gather kernel (ops.slab_interp) — the fastest path, used
+      when parcels are kept sorted (SORT_DT; TPU_FAST >= 2).
 
-    Either entry may be None; modules fall back to the exact
+    Any entry may be None; modules fall back to the exact
     (reference-parity) interpolation path.
     """
     w64: Optional[jnp.ndarray] = None
     sfc: Optional[jnp.ndarray] = None
+    packT: Optional[jnp.ndarray] = None
+    sfcT: Optional[jnp.ndarray] = None
+    pack8: Optional[jnp.ndarray] = None
 
 
 
@@ -81,11 +87,21 @@ SFC_FIELDS = ("ps", "pbl", "ts", "zs", "cape", "cin", "pel", "plcl",
               "ess", "nss", "shf", "sst", "pt", "tt", "zt", "h2ot")
 
 
-def build_met_pack(met01: Met, wind: bool = True,
-                   sfc: bool = True) -> MetPack:
+def build_met_pack(met01: Met, wind: bool = True, sfc: bool = True,
+                   lane: bool = False) -> MetPack:
     """Build all gather tables for a met pair (once per met interval,
     amortized over the steps in between — replaces the reference's
-    per-parcel cached-index reuse, mptrac.h:964)."""
+    per-parcel cached-index reuse, mptrac.h:964).
+
+    ``lane=True`` builds the transposed slab-kernel tables instead of
+    the row-major XLA-gather tables (same HBM footprint; requires
+    sorted parcels, see ops.slab_interp)."""
+    if lane:
+        from mptrac_tpu.ops import slab_interp
+        return MetPack(
+            packT=slab_interp.build_packT(met01) if wind else None,
+            sfcT=slab_interp.build_sfcT(met01) if sfc else None,
+            pack8=slab_interp.build_pack8(met01) if wind else None)
     return MetPack(
         w64=build_advect_pack64(met01) if wind else None,
         sfc=build_sfc_pack(met01) if sfc else None)

@@ -4,27 +4,34 @@ The TPU-native answer to the reference's hot loop — per-parcel 8-point
 met interpolation (intpol_met_space_3d, /root/reference/src/mptrac.c:2985)
 with spatial sorting for locality (module_sort, c:5699).  XLA's TPU
 gather is a serial per-offset row copy (~8-10 ns/offset measured on
-v5e); this kernel instead streams the packed corner table through VMEM
-in slabs and serves each 128-parcel group of (approximately) sorted
+v5e); this kernel instead keeps a large slab of the packed corner
+table resident in VMEM and serves each 128-parcel group of sorted
 parcels with 128-lane vector gathers:
 
 - Tables are stored transposed: ``packT [64, ncellp]`` — lane = grid
   cell, sublane = corner*6 + component (+ 16 temperature lanes); and
   ``sfcT [128, nxyp]`` — sublane = (corner*2+snap)*16 + field for the
   16 hot 2-D surface fields.
-- Grid = one step per chunk of G*128 parcels.  Each step DMAs one
-  ``[rows, S]`` slab into VMEM (start = chunk's minimum cell window)
-  and serves every group with two 128-cell *window pairs*: one at the
-  group's min cell, one at its max.  For sorted parcels a group spans
-  only a few cells, so the pairs coincide; parcels whose RK midpoint
-  crossed a longitude cell (+-ny*npl in flat index) are caught by the
-  max-pair.  Gathers are ``take_along_axis`` along lanes — the one
-  dynamic-indexing primitive the VPU has.
-- Parcels missing all four windows are flagged and recomputed by a
-  bounded XLA fallback gather (cap ~ n/64); the served fraction is
-  returned for driver diagnostics.
+- Grid = (chunk, group-block).  At the first group-block of a chunk
+  the kernel DMAs one ``[rows, S]`` slab into scratch VMEM (persistent
+  across grid steps); S covers the chunk's sorted span *plus a full
+  +-1-longitude-cell margin* (+-ny*npl cells), so parcels whose RK
+  midpoint or drift since the last sort crossed a longitude cell are
+  still served in-kernel.
+- Each 128-parcel group is served by three 256-cell *window pairs*
+  anchored at the group's min, median and max cell: the bulk of a
+  sorted group spans only a few cells at production density
+  (~25 parcels/cell at the 100M-parcel flagship), and
+  longitude-crossers form at most two extra clusters at +-ny*npl —
+  three anchors cover all of them.  Gathers are ``take_along_axis``
+  along lanes — the one dynamic-indexing primitive the VPU has.
+- The rare residue (multi-cell drift in jets between sorts, or very
+  low parcel density) is flagged and recomputed by a bounded XLA
+  fallback: group-level top_k compaction (cheap — no full-length
+  nonzero/argsort) + 8-corner row gathers from a small row-major
+  ``pack8 [ncell, 8]`` table.
 
-Measured on TPU v5e (perf/probe.py): 1.16 ns/parcel/site vs 9.9 ns
+Measured on TPU v5e (perf/probe.py): ~1.2-2 ns/parcel/site vs 9.9 ns
 for the XLA row-gather path, numerically identical (same f32
 arithmetic order).
 """
@@ -32,7 +39,7 @@ arithmetic order).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +47,9 @@ import jax.numpy as jnp
 from mptrac_tpu.types import Met
 
 WIN = 128            # lane-gather width (hardware vreg lanes)
-G_DEFAULT = 64       # parcel groups per grid step (chunk = G*128)
+U = 8                # groups unrolled per grid step (1024 parcels)
 CHUNK = 2 ** 21      # parcels per outer lax.map slice (SMEM budget)
+SPAN_BULK = 6144     # slab cells budgeted for the chunk's sorted span
 
 #: 2-D fields packed by build_sfcT, in field-lane order (matches
 #: ops.fast_interp.SFC_FIELDS so consumers can share name lookups)
@@ -50,9 +58,10 @@ SFC_FIELDS = ("ps", "pbl", "ts", "zs", "cape", "cin", "pel", "plcl",
 
 
 class SlabTables(NamedTuple):
-    """Transposed gather tables for one met snapshot pair."""
-    packT: Optional[jnp.ndarray] = None   # [64, ncellp] winds+T
-    sfcT: Optional[jnp.ndarray] = None    # [128, nxyp] surface fields
+    """Gather tables for one met snapshot pair."""
+    packT: Optional[jnp.ndarray] = None   # [64, ncellp] winds+T (T)
+    sfcT: Optional[jnp.ndarray] = None    # [128, nxyp] surface (T)
+    pack8: Optional[jnp.ndarray] = None   # [ncell, 8] fallback rows
 
 
 # ------------------------------------------------------------ builders
@@ -102,6 +111,24 @@ def build_packT(met01: Met) -> jnp.ndarray:
     return packT
 
 
+def build_pack8(met01: Met) -> jnp.ndarray:
+    """[ncell, 8] row-major fallback table: lanes (u0,v0,w0,u1,v1,w1,
+    t0,t1) at the cell itself.  The straggler fallback gathers the 8
+    trilinear corners as 8 row offsets (cheap at the bounded cap)."""
+    u = met01.fields3d["u"]
+    v = met01.fields3d["v"]
+    w = met01.fields3d["w"]
+    t = met01.fields3d.get("t")
+    nx, ny, npl = u.shape[-3:]
+    n = nx * ny * npl
+    z = jnp.zeros(n, u.dtype)
+    tt = (t.reshape(2, n) if t is not None else (z, z))
+    return jnp.stack([
+        u[0].reshape(n), v[0].reshape(n), w[0].reshape(n),
+        u[1].reshape(n), v[1].reshape(n), w[1].reshape(n),
+        tt[0], tt[1]], axis=-1).astype(jnp.float32)
+
+
 def build_sfcT(met01: Met) -> jnp.ndarray:
     """[128, nxyp] transposed surface table: sublane =
     ((dx*2+dy)*2 + snap)*16 + field, lane = ix*ny + iy (edge-clamped
@@ -130,10 +157,11 @@ def build_slab_tables(met01: Met, wind: bool = True,
                       sfc: bool = True) -> SlabTables:
     return SlabTables(
         packT=build_packT(met01) if wind else None,
-        sfcT=build_sfcT(met01) if sfc else None)
+        sfcT=build_sfcT(met01) if sfc else None,
+        pack8=build_pack8(met01) if wind else None)
 
 
-# ----------------------------------------------------- kernel internals
+# ----------------------------------------------------- interpolants
 
 def _trilerp_T(rows, wx, wy, wz, wt):
     """Trilinear + time interpolation in transposed layout.
@@ -176,7 +204,8 @@ def _meso_sigma_T(rows):
         msq = jnp.zeros_like(rows[0:1, :])
         for c in range(8):
             for s in (0, 1):
-                val = rows[c * 6 + s * 3 + comp:c * 6 + s * 3 + comp + 1, :]
+                l = c * 6 + s * 3 + comp
+                val = rows[l:l + 1, :]
                 mean = mean + val
                 msq = msq + val * val
         mean = mean * jnp.float32(1.0 / 16.0)
@@ -222,37 +251,46 @@ def _out_rows(mode: str) -> int:
     return {"uvwt": 8, "meso": 8, "sfc": 24}[mode]
 
 
+def _ok_row(mode: str) -> int:
+    return {"uvwt": 4, "meso": 3, "sfc": 16}[mode]
+
+
 def _tab_rows(mode: str) -> int:
     return 128 if mode == "sfc" else 64
 
 
-def _kernel(s_ref, kmin_ref, kmax_ref, base_ref, w_ref, tab_hbm,
-            out_ref, slab, sem, *, G, S, mode):
-    """One grid step: DMA slab [R, S] at window s_ref[c], then serve G
-    groups of 128 parcels with two window pairs each."""
+# ------------------------------------------------------------- kernel
+
+def _kernel(s_ref, anc_ref, base_ref, w_ref, tab_hbm, out_ref, slab,
+            sem, *, GB, S, mode):
+    """Grid (nchunk, GB): step (c, 0) DMAs the chunk slab; every step
+    serves U groups of 128 parcels with three anchor window pairs."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     R = _tab_rows(mode)
     with jax.enable_x64(False):
         c = pl.program_id(0)
+        g = pl.program_id(1)
         start = s_ref[c] * WIN
-        cp = pltpu.make_async_copy(tab_hbm.at[:, pl.ds(start, S)],
-                                   slab, sem)
-        cp.start()
-        cp.wait()
-        nwin = S // WIN
-        for g in range(G):
-            idx = base_ref[g:g + 1, :] - start         # [1, 128]
-            k0 = kmin_ref[c * G + g] - s_ref[c]
-            k0 = jnp.minimum(jnp.maximum(k0, jnp.int32(0)),
-                             jnp.int32(nwin - 2))
-            k1 = kmax_ref[c * G + g] - s_ref[c]
-            k1 = jnp.minimum(jnp.maximum(k1, jnp.int32(0)),
-                             jnp.int32(nwin - 2))
 
-            def pair(koff):
-                off = koff * WIN
+        @pl.when(g == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                tab_hbm.at[:, pl.ds(start, S)], slab, sem)
+            cp.start()
+            cp.wait()
+
+        nwin = S // WIN
+        for u in range(U):
+            gi = ((c * GB) + g) * U + u
+            idx = base_ref[u:u + 1, :] - start         # [1, 128]
+
+            def pair(anc):
+                k = jnp.minimum(jnp.maximum(anc - s_ref[c],
+                                            jnp.int32(0)),
+                                jnp.int32(nwin - 2))
+                off = k * WIN
                 w0 = slab[:, pl.ds(off, WIN)]
                 w1 = slab[:, pl.ds(off + WIN, WIN)]
                 i0 = idx - off
@@ -267,13 +305,16 @@ def _kernel(s_ref, kmin_ref, kmax_ref, base_ref, w_ref, tab_hbm,
                 return (jnp.where(in0, g0, jnp.where(in1, g1, 0.0)),
                         in0 | in1)
 
-            rows_a, ok_a = pair(k0)
-            rows_b, ok_b = pair(k1)
-            rows = jnp.where(ok_a, rows_a, rows_b)
-            ok = ok_a | ok_b
+            rows, ok = pair(anc_ref[3 * gi])
+            r2, ok2 = pair(anc_ref[3 * gi + 1])
+            rows = jnp.where(ok, rows, r2)
+            ok = ok | ok2
+            r3, ok3 = pair(anc_ref[3 * gi + 2])
+            rows = jnp.where(ok, rows, r3)
+            ok = ok | ok3
             okf = ok.astype(jnp.float32)
 
-            ws = w_ref[:, g * WIN:(g + 1) * WIN]
+            ws = w_ref[:, u * WIN:(u + 1) * WIN]
             if mode == "uvwt":
                 uvw, tt = _trilerp_T(rows, ws[0:1], ws[1:2], ws[2:3],
                                      ws[3:4])
@@ -290,78 +331,94 @@ def _kernel(s_ref, kmin_ref, kmax_ref, base_ref, w_ref, tab_hbm,
                 contrib = jnp.concatenate(
                     [vals, okf,
                      jnp.zeros((7, WIN), jnp.float32)], axis=0)
-            out_ref[:, g * WIN:(g + 1) * WIN] = contrib * okf
+            out_ref[:, u * WIN:(u + 1) * WIN] = contrib * okf
 
 
-def _pick_S(ncellp: int, n: int, G: int) -> int:
-    """Slab cells per grid step: ~1.5x the expected sorted span of a
-    G*128-parcel chunk, in [1024, 8192], capped by the table."""
-    span = G * WIN * max(1.0, ncellp / max(n, 1))
-    S = int(min(8192, max(1024, 1.5 * span)))
+def _plan(ncellp: int, n: int, margin: int):
+    """(CP, S): parcels per chunk and slab cells.
+
+    CP is sized so a sorted chunk spans <= SPAN_BULK cells; S adds the
+    +-margin (one longitude cell in flat-index units) plus anchor
+    slack.  Everything static at trace time."""
+    density = n / max(ncellp, 1)
+    CP = 1 << max(10, min(17, int(density * SPAN_BULK * 0.8)
+                          .bit_length() - 1))
+    S = SPAN_BULK + 2 * margin + 2 * WIN
     S = -(-S // 1024) * 1024
-    return min(S, ncellp)
+    S = min(S, ncellp)
+    return CP, S
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("G", "S", "mode", "interpret"))
-def _slab_call(tab, base, w, G, S, mode, interpret=False):
-    """Pallas dispatch over <=CHUNK parcels (prefetched scalar arrays
-    must stay small for SMEM)."""
+@functools.partial(
+    jax.jit, static_argnames=("CP", "S", "margin", "mode",
+                              "interpret"))
+def _slab_call(tab, base, w, CP, S, margin, mode, interpret=False):
+    """Pallas dispatch over <=CHUNK parcels."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = base.shape[0]
-    CP = G * WIN
     nchunk = -(-n // CP)
     npad = nchunk * CP
+    GB = CP // (U * WIN)
     nblk = tab.shape[1] // WIN
     OR = _out_rows(mode)
 
     base_p = jnp.pad(base, (0, npad - n), mode="edge")
     w_p = jnp.pad(w, ((0, 0), (0, npad - n)))
-    bmat = base_p.reshape(nchunk, G, WIN)
-    kmin = (jnp.min(bmat, axis=2) // WIN).astype(jnp.int32)
-    kmax = (jnp.maximum(jnp.max(bmat, axis=2) - (WIN - 1), 0)
-            // WIN).astype(jnp.int32)
-    s = jnp.clip(jnp.min(kmin, axis=1), 0,
-                 nblk - S // WIN).astype(jnp.int32)
+    bmat = base_p.reshape(nchunk, -1, WIN)             # [nchunk, ng/c, 128]
+    gmin = jnp.min(bmat, axis=2)
+    gmax = jnp.max(bmat, axis=2)
+    gmed = bmat[:, :, WIN // 2]
+    anchors = jnp.stack(
+        [gmin // WIN,
+         gmed // WIN,
+         jnp.maximum(gmax - (WIN - 1), 0) // WIN],
+        axis=-1).astype(jnp.int32)                     # [nchunk, ng/c, 3]
+    s = jnp.clip(jnp.min(gmin, axis=1) // WIN - margin // WIN - 1,
+                 0, nblk - S // WIN).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nchunk,),
+        num_scalar_prefetch=2,
+        grid=(nchunk, GB),
         in_specs=[
-            pl.BlockSpec((G, WIN), lambda c, *_: (c, c * 0)),
-            pl.BlockSpec((4, CP), lambda c, *_: (c * 0, c)),
+            pl.BlockSpec((U, WIN),
+                         lambda c, g, *_: (c * GB + g, c * 0)),
+            pl.BlockSpec((4, U * WIN), lambda c, g, *_: (c * 0,
+                                                         c * GB + g)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((OR, CP), lambda c, *_: (c * 0, c)),
+        out_specs=pl.BlockSpec((OR, U * WIN),
+                               lambda c, g, *_: (c * 0, c * GB + g)),
         scratch_shapes=[
             pltpu.VMEM((_tab_rows(mode), S), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, G=G, S=S, mode=mode),
+        functools.partial(_kernel, GB=GB, S=S, mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((OR, npad), jnp.float32),
         interpret=interpret,
-    )(s, kmin.reshape(-1), kmax.reshape(-1),
-      bmat.reshape(nchunk * G, WIN), w_p.reshape(4, npad), tab)
+    )(s, anchors.reshape(-1), bmat.reshape(-1, WIN),
+      w_p.reshape(4, npad), tab)
     return out[:, :n]
 
 
-def _slab_call_outer(tab, base, w, G, S, mode, interpret=False):
-    """lax.map over <=CHUNK-parcel slices."""
+def _slab_call_outer(tab, base, w, CP, S, margin, mode,
+                     interpret=False):
+    """lax.map over <=CHUNK-parcel slices (keeps the prefetched scalar
+    arrays inside the 1 MB SMEM)."""
     n = base.shape[0]
     if n <= CHUNK:
-        return _slab_call(tab, base, w, G, S, mode, interpret)
+        return _slab_call(tab, base, w, CP, S, margin, mode, interpret)
     nch = -(-n // CHUNK)
     pad = nch * CHUNK - n
     base_p = jnp.pad(base, (0, pad), mode="edge").reshape(nch, CHUNK)
     w_p = jnp.moveaxis(
         jnp.pad(w, ((0, 0), (0, pad))).reshape(4, nch, CHUNK), 1, 0)
     out = jax.lax.map(
-        lambda bw: _slab_call(tab, bw[0], bw[1], G, S, mode,
+        lambda bw: _slab_call(tab, bw[0], bw[1], CP, S, margin, mode,
                               interpret),
         (base_p, w_p))
     OR = _out_rows(mode)
@@ -370,31 +427,61 @@ def _slab_call_outer(tab, base, w, G, S, mode, interpret=False):
 
 # ------------------------------------------------------ fallback path
 
-def _fallback_cols(tab, base, idx_bad):
-    """Columns of the transposed table for straggler parcels:
-    [R, cap] via an XLA gather (bounded by the fallback cap)."""
-    cols = jnp.take(base, idx_bad, fill_value=0)
-    return jnp.take(tab, cols, axis=1)
+def _compact_bad(ok, cap):
+    """Indices of unserved parcels, bounded by cap, without a
+    full-length nonzero/argsort (169 ms / 5 ms at 2M on v5e):
+    group-level top_k picks the groups containing stragglers, then a
+    small argsort compacts within the candidate window."""
+    n = ok.shape[0]
+    ng = -(-n // WIN)
+    bad = ~ok
+    badp = jnp.pad(bad, (0, ng * WIN - n))
+    grp = jnp.sum(badp.reshape(ng, WIN), axis=1)       # [ng]
+    cap_g = max(1, min(ng, cap // 8))
+    _, gidx = jax.lax.top_k(grp, cap_g)
+    cand = (gidx[:, None] * WIN
+            + jnp.arange(WIN, dtype=jnp.int32)).reshape(-1)
+    cand_bad = jnp.take(badp, cand)
+    order = jnp.argsort(~cand_bad, stable=True)
+    idx = jnp.take(cand, order[:cap])
+    sel = jnp.take(cand_bad, order[:cap])
+    return jnp.where(sel & (idx < n), idx, n)          # n = dropped
 
 
-def _apply_fallback(tab, base, w, out, mode, cap):
+def _fb_rows(pack8, base, idx_bad, oy, ox):
+    """8-corner fallback gather: rows [cap, 8, 8lanes] transposed to
+    the kernel's [64, cap] sublane order."""
+    b = jnp.take(base, jnp.minimum(idx_bad, base.shape[0] - 1))
+    parts = []
+    for o in (0, 1, oy, oy + 1, ox, ox + 1, ox + oy, ox + oy + 1):
+        parts.append(jnp.take(pack8, jnp.clip(b + o, 0,
+                                              pack8.shape[0] - 1),
+                              axis=0))                 # [cap, 8]
+    # kernel order: corner-major (u0,v0,w0,u1,v1,w1) then T corners
+    wind = jnp.concatenate([p[:, :6] for p in parts], axis=1)
+    tcor = jnp.concatenate([p[:, 6:8] for p in parts], axis=1)
+    return jnp.concatenate([wind, tcor], axis=1).T     # [64, cap]
+
+
+def _apply_fallback(tables: SlabTables, base, w, out, mode, cap,
+                    oy=None, ox=None):
     """Recompute parcels the kernel could not serve (ok row == 0)."""
     n = base.shape[0]
-    OR = _out_rows(mode)
-    okrow = {"uvwt": 4, "meso": 3, "sfc": 16}[mode]
-    ok = out[okrow, :] > 0.5
-    idx_bad = jnp.nonzero(~ok, size=cap, fill_value=n)[0]
-    rows = _fallback_cols(tab, base, jnp.minimum(idx_bad, n - 1))
+    ok = out[_ok_row(mode), :] > 0.5
+    idx_bad = _compact_bad(ok, cap)
     w_bad = jnp.take(w, jnp.minimum(idx_bad, n - 1), axis=1)
-    if mode == "uvwt":
-        uvw, tt = _trilerp_T(rows, w_bad[0:1], w_bad[1:2], w_bad[2:3],
-                             w_bad[3:4])
-        vals = jnp.concatenate([uvw, tt], axis=0)      # [4, cap]
-    elif mode == "meso":
-        vals = _meso_sigma_T(rows)                     # [3, cap]
+    if mode == "sfc":
+        cols = jnp.take(base, jnp.minimum(idx_bad, n - 1))
+        rows = jnp.take(tables.sfcT, cols, axis=1)     # [128, cap]
+        vals = _sfc_interp_T(rows, w_bad[0:1], w_bad[1:2], w_bad[2:3])
     else:
-        vals = _sfc_interp_T(rows, w_bad[0:1], w_bad[1:2],
-                             w_bad[2:3])               # [16, cap]
+        rows = _fb_rows(tables.pack8, base, idx_bad, oy, ox)
+        if mode == "uvwt":
+            uvw, tt = _trilerp_T(rows, w_bad[0:1], w_bad[1:2],
+                                 w_bad[2:3], w_bad[3:4])
+            vals = jnp.concatenate([uvw, tt], axis=0)
+        else:
+            vals = _meso_sigma_T(rows)
     nv = vals.shape[0]
     out_v = jnp.concatenate(
         [out[:nv, :], jnp.zeros((nv, 1), out.dtype)], axis=1)
@@ -405,44 +492,89 @@ def _apply_fallback(tab, base, w, out, mode, cap):
 
 # ------------------------------------------------------------- public
 
-def interp_uvwt(tables: SlabTables, base, weights, G: int = G_DEFAULT,
-                cap_frac: int = 64, interpret: bool = False):
-    """(u, v, w) winds + temperature for ~sorted parcels.
+def interp_uvwt(tables: SlabTables, base, weights, oy: int, ox: int,
+                cap_frac: int = 256, interpret: bool = False):
+    """(u, v, w, T) for ~sorted parcels.
 
     base [n] int32 flat cell (ix*ny+iy)*npl+iz; weights [4, n] f32
-    (wx, wy, wz, wt).  Returns (uvw [4, n] f32, served fraction)."""
+    (wx, wy, wz, wt); oy/ox = npl / ny*npl flat-index strides.
+    Returns ([4, n] f32, served fraction)."""
     n = base.shape[0]
-    S = _pick_S(tables.packT.shape[1], min(n, CHUNK), G)
-    out = _slab_call_outer(tables.packT, base, weights, G, S, "uvwt",
-                           interpret)
+    CP, S = _plan(tables.packT.shape[1], min(n, CHUNK), ox)
+    out = _slab_call_outer(tables.packT, base, weights, CP, S, ox,
+                           "uvwt", interpret)
     cap = max(WIN, n // cap_frac)
-    return _apply_fallback(tables.packT, base, weights, out, "uvwt",
-                           cap)
+    return _apply_fallback(tables, base, weights, out, "uvwt", cap,
+                           oy, ox)
 
 
-def meso_sigma(tables: SlabTables, base, G: int = G_DEFAULT,
-               cap_frac: int = 64, interpret: bool = False):
+def meso_sigma(tables: SlabTables, base, oy: int, ox: int,
+               cap_frac: int = 256, interpret: bool = False):
     """Subgrid wind sigma (u, v, w) for ~sorted parcels: [3, n] f32."""
     n = base.shape[0]
-    S = _pick_S(tables.packT.shape[1], min(n, CHUNK), G)
+    CP, S = _plan(tables.packT.shape[1], min(n, CHUNK), ox)
     w = jnp.zeros((4, n), jnp.float32)
-    out = _slab_call_outer(tables.packT, base, w, G, S, "meso",
+    out = _slab_call_outer(tables.packT, base, w, CP, S, ox, "meso",
                            interpret)
     cap = max(WIN, n // cap_frac)
-    return _apply_fallback(tables.packT, base, w, out, "meso", cap)
+    return _apply_fallback(tables, base, w, out, "meso", cap, oy, ox)
 
 
 def interp_sfc(tables: SlabTables, basexy, weights,
-               G: int = G_DEFAULT, cap_frac: int = 64,
-               interpret: bool = False):
+               cap_frac: int = 256, interpret: bool = False):
     """All 16 packed surface fields for ~sorted parcels.
 
     basexy [n] int32 = ix*ny+iy; weights [4, n] f32 (wx, wy, wt, 0).
+    A +-1-lon-cell jump is only +-ny in flat-xy index — within the
+    anchor pairs' reach — so no slab margin is needed.
     Returns ([16, n] f32 in SFC_FIELDS order, served fraction)."""
     n = basexy.shape[0]
-    S = _pick_S(tables.sfcT.shape[1], min(n, CHUNK), G)
-    out = _slab_call_outer(tables.sfcT, basexy, weights, G, S, "sfc",
-                           interpret)
+    CP, S = _plan(tables.sfcT.shape[1], min(n, CHUNK), 0)
+    out = _slab_call_outer(tables.sfcT, basexy, weights, CP, S, 0,
+                           "sfc", interpret)
     cap = max(WIN, n // cap_frac)
-    return _apply_fallback(tables.sfcT, basexy, weights, out, "sfc",
-                           cap)
+    return _apply_fallback(tables, basexy, weights, out, "sfc", cap)
+
+
+# ----------------------------------------- module-facing convenience
+
+def _auto_interpret() -> bool:
+    """Pallas interpret mode off-TPU (CPU test suite)."""
+    return jax.default_backend() != "tpu"
+
+
+def uvwt_from_loc(tables: SlabTables, met01: Met, ts, loc,
+                  interpret: Optional[bool] = None):
+    """(u, v, w, T) at located parcel positions via the slab kernel.
+    Drop-in for fast_interp.interp_uvw_packed64 + interp_t_packed64
+    (f32 arithmetic; requires ~sorted parcels)."""
+    from mptrac_tpu.ops import interp
+    u3 = met01.fields3d["u"]
+    ny, npl = u3.shape[-2:]
+    base = ((loc.ix * ny + loc.iy) * npl + loc.iz).astype(jnp.int32)
+    wt = interp.time_weight(met01, ts)
+    w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]).astype(jnp.float32)
+    out, served = interp_uvwt(
+        tables, base, w4, npl, ny * npl,
+        interpret=_auto_interpret() if interpret is None else interpret)
+    dtype = met01.lon.dtype
+    return (out[0].astype(dtype), out[1].astype(dtype),
+            out[2].astype(dtype), out[3].astype(dtype), served)
+
+
+def sfc_from_loc(tables: SlabTables, met01: Met, names, ts, loc,
+                 interpret: Optional[bool] = None):
+    """{name: [n]} surface-field interpolation via the slab kernel.
+    Drop-in for fast_interp.interp_sfc_packed."""
+    from mptrac_tpu.ops import interp
+    ny = met01.fields2d[SFC_FIELDS[0]].shape[-1]
+    basexy = (loc.ix * ny + loc.iy).astype(jnp.int32)
+    wt = interp.time_weight(met01, ts)
+    w4 = jnp.stack([loc.wx, loc.wy, wt,
+                    jnp.zeros_like(wt)]).astype(jnp.float32)
+    out, served = interp_sfc(
+        tables, basexy, w4,
+        interpret=_auto_interpret() if interpret is None else interpret)
+    dtype = loc.wy.dtype
+    return {name: out[SFC_FIELDS.index(name)].astype(dtype)
+            for name in names}

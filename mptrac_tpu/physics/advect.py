@@ -18,9 +18,9 @@ from mptrac_tpu.types import Atm, Cache, Met
 
 
 def module_advect(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
-                  pack=None) -> Atm:
+                  pack=None, slab=None) -> Atm:
     if ctl.advect_vert_coord in (0, 2):
-        return _advect_plev(ctl, cache, met01, atm, pack)
+        return _advect_plev(ctl, cache, met01, atm, pack, slab)
     return _advect_zeta(ctl, cache, met01, atm)
 
 
@@ -33,13 +33,14 @@ def _rk_weight(ctl: Ctl, i: int) -> float:
 
 
 def _advect_plev(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
-                 pack=None) -> Atm:
+                 pack=None, slab=None) -> Atm:
     """Kinematic advection with omega on pressure levels
     (advect_vert_coord 0) or on model levels (2).
 
     When a packed wind table is supplied (ops.fast_interp), the
     per-node interpolation uses one wide-row gather in float32 instead
-    of 48 scalar gathers in float64."""
+    of 48 scalar gathers in float64.  ``packT`` selects the sorted
+    Pallas slab-gather kernel instead (ops.slab_interp)."""
     cart = met01.coord_type != 0
     dt = cache.dt
     active = (dt != 0.0) & atm.mask
@@ -56,7 +57,14 @@ def _advect_plev(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
                  atm.lat + dy2coord(dts * v, cart),
                  atm.p + dts * w)
         tm = atm.time + dts
-        if ctl.advect_vert_coord == 0 and pack is not None:
+        if (ctl.advect_vert_coord == 0 and slab is not None):
+            # Sorted slab-gather kernel (ops.slab_interp): the
+            # production TPU hot path
+            from mptrac_tpu.ops import slab_interp
+            loc = interp.locate_3d(met01, x[0], x[1], x[2])
+            u, v, w, _, _ = slab_interp.uvwt_from_loc(slab, met01, tm,
+                                                      loc)
+        elif ctl.advect_vert_coord == 0 and pack is not None:
             from mptrac_tpu.ops.fast_interp import (interp_uvw_packed,
                                                     interp_uvw_packed64)
             loc = interp.locate_3d(met01, x[0], x[1], x[2])

@@ -44,7 +44,7 @@ def tropo_weight(ctl: Ctl, clim: Clim, time, lat, p, pt=None):
 
 
 def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
-                     atm: Atm, sfc=None):
+                     atm: Atm, sfc=None, sfcT=None):
     """Langevin random-walk diffusion with well-mixed vertical drift
     correction (reference c:4580-4730)."""
     n = atm.npmax
@@ -56,7 +56,13 @@ def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
     active = (dt != 0.0) & atm.mask
 
     loc = interp.locate_3d(met01, atm.lon, atm.lat, atm.p)
-    if sfc is not None:
+    if sfcT is not None:
+        from mptrac_tpu.ops import slab_interp
+        v2 = slab_interp.sfc_from_loc(
+            slab_interp.SlabTables(sfcT=sfcT), met01, ("pbl", "ps"),
+            atm.time, loc)
+        pbl, ps = v2["pbl"], v2["ps"]
+    elif sfc is not None:
         from mptrac_tpu.ops.fast_interp import interp_sfc_packed
         v2 = interp_sfc_packed(met01, sfc, ("pbl", "ps"), atm.time,
                                loc)
@@ -117,7 +123,7 @@ def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
 
 
 def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
-                     pack=None):
+                     pack=None, slab=None):
     """Mesoscale wind fluctuations: AR(1) colored noise scaled to the
     local subgrid wind variance (reference c:4258-4335).
 
@@ -144,7 +150,16 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
     w3 = met01.fields3d["w"]
     nx, ny, npl = u3.shape[-3:]
 
-    if pack is not None and pack.shape[-1] == 64:
+    if slab is not None:
+        # Sorted slab-gather kernel: one VMEM window pair serves the
+        # whole 16-point stencil for a 128-parcel group
+        from mptrac_tpu.ops import slab_interp
+        base = ((ix * ny + iy) * npl + iz).astype(jnp.int32)
+        sig, _ = slab_interp.meso_sigma(
+            slab, base, npl, ny * npl,
+            interpret=slab_interp._auto_interpret())
+        usig, vsig, wsig = sig[0], sig[1], sig[2]
+    elif pack is not None and pack.shape[-1] == 64:
         # The 64-wide corner row already holds all 8 corners x 2
         # snapshots: the whole 16-point stencil is ONE gather offset
         # per parcel (see build_advect_pack64).  Chunked so the

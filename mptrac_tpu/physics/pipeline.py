@@ -50,6 +50,16 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
         pack = MetPack(w64=pack, sfc=None)
     wpack = pack.w64 if pack is not None else None
     sfc = pack.sfc if pack is not None else None
+    # Transposed slab-kernel tables (sorted fast path): only sound in
+    # f32 compute mode (the kernel computes in f32)
+    fp32 = met01.lon.dtype == jnp.float32
+    slab = None
+    sfcT = None
+    if pack is not None and fp32 and pack.packT is not None:
+        from mptrac_tpu.ops.slab_interp import SlabTables
+        slab = SlabTables(packT=pack.packT, sfcT=pack.sfcT,
+                          pack8=pack.pack8)
+        sfcT = pack.sfcT
 
     # Set timesteps of air parcels
     with jax.named_scope("module_timesteps"):
@@ -63,7 +73,8 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
     # Advection
     if ctl.advect > 0:
         with jax.named_scope("module_advect"):
-            atm = m_advect.module_advect(ctl, cache, met01, atm, wpack)
+            atm = m_advect.module_advect(ctl, cache, met01, atm, wpack,
+                                         slab)
 
     # Turbulent diffusion
     if ctl.diffusion and (
@@ -71,7 +82,7 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
             or ctl.turb_dx_trop > 0 or ctl.turb_dz_trop > 0
             or ctl.turb_dx_strat > 0 or ctl.turb_dz_strat > 0):
         atm, cache = m_diff.module_diff_turb(ctl, cache, clim, met01,
-                                             atm, sfc)
+                                             atm, sfc, sfcT)
 
     # PBL diffusion scheme
     if ctl.diffusion and ctl.turb_pbl_scheme == 1:
@@ -81,7 +92,7 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
     # Mesoscale diffusion
     if ctl.diffusion and (ctl.turb_mesox > 0 or ctl.turb_mesoz > 0):
         atm, cache = m_diff.module_diff_meso(ctl, cache, met01, atm,
-                                             wpack)
+                                             wpack, slab)
 
     # Convection
     if (ctl.conv_mix_pbl or ctl.conv_cape >= 0) and flags.do_conv:

@@ -180,9 +180,16 @@ class Simulation:
         if not self.ctl.tpu_fast:
             return None
         if self._pack_src is not met01:
+            import functools
+
             from mptrac_tpu.ops.fast_interp import build_met_pack
             if self._pack_builder is None:
-                self._pack_builder = jax.jit(build_met_pack)
+                # TPU_FAST >= 2: transposed tables for the sorted
+                # Pallas slab kernel (requires SORT_DT re-sorting)
+                lane = (self.ctl.tpu_fast >= 2
+                        and self.ctl.sort_dt > 0)
+                self._pack_builder = jax.jit(functools.partial(
+                    build_met_pack, lane=lane))
             self._pack = self._pack_builder(met01)
             self._pack_src = met01
         return self._pack

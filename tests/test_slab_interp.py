@@ -45,8 +45,8 @@ def test_uvwt_matches_packed64():
     w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]
                    ).astype(jnp.float32)[:, order]
 
-    out, served = SL.interp_uvwt(tables, base[order], w4,
-                                 interpret=True)
+    out, served = SL.interp_uvwt(tables, base[order], w4, npl,
+                                 ny * npl, interpret=True)
     assert float(served) > 0.9
     ref = np.stack([np.asarray(u_ref), np.asarray(v_ref),
                     np.asarray(w_ref), np.asarray(t_ref)]
@@ -70,8 +70,8 @@ def test_uvwt_unsorted_recovered_by_fallback():
     base = ((loc.ix * ny + loc.iy) * npl + loc.iz).astype(jnp.int32)
     wt = (met01.time[1] - ts) / (met01.time[1] - met01.time[0])
     w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]).astype(jnp.float32)
-    out, served = SL.interp_uvwt(tables, base, w4, cap_frac=1,
-                                 interpret=True)
+    out, served = SL.interp_uvwt(tables, base, w4, npl, ny * npl,
+                                 cap_frac=1, interpret=True)
     ref = np.stack([np.asarray(u_ref), np.asarray(v_ref),
                     np.asarray(w_ref)])
     np.testing.assert_allclose(np.asarray(out[:3], np.float64), ref,
@@ -105,8 +105,8 @@ def test_meso_matches_pack64_path():
         sig_ref.append(jnp.where(var > 0, jnp.sqrt(var), 0.0))
     sig_ref = np.stack([np.asarray(s) for s in sig_ref])
 
-    sig, served = SL.meso_sigma(tables, base_s, cap_frac=4,
-                                interpret=True)
+    sig, served = SL.meso_sigma(tables, base_s, npl, ny * npl,
+                                cap_frac=4, interpret=True)
     assert float(served) > 0.8
     # var = msq - mean^2 cancels ~6 digits on smooth wind fields, so
     # 0.5-ulp fma-contraction differences between the two graphs are
