@@ -262,7 +262,7 @@ def _tab_rows(mode: str) -> int:
 # ------------------------------------------------------------- kernel
 
 def _kernel(s_ref, anc_ref, base_ref, w_ref, tab_hbm, out_ref, slab,
-            sem, *, GB, S, mode):
+            sem, *, GB, S, mode, nanc):
     """Grid (nchunk, GB): step (c, 0) DMAs the chunk slab; every step
     serves U groups of 128 parcels with three anchor window pairs."""
     import jax.experimental.pallas as pl
@@ -305,13 +305,11 @@ def _kernel(s_ref, anc_ref, base_ref, w_ref, tab_hbm, out_ref, slab,
                 return (jnp.where(in0, g0, jnp.where(in1, g1, 0.0)),
                         in0 | in1)
 
-            rows, ok = pair(anc_ref[3 * gi])
-            r2, ok2 = pair(anc_ref[3 * gi + 1])
-            rows = jnp.where(ok, rows, r2)
-            ok = ok | ok2
-            r3, ok3 = pair(anc_ref[3 * gi + 2])
-            rows = jnp.where(ok, rows, r3)
-            ok = ok | ok3
+            rows, ok = pair(anc_ref[nanc * gi])
+            for a in range(1, nanc):
+                r2, ok2 = pair(anc_ref[nanc * gi + a])
+                rows = jnp.where(ok, rows, r2)
+                ok = ok | ok2
             okf = ok.astype(jnp.float32)
 
             ws = w_ref[:, u * WIN:(u + 1) * WIN]
@@ -343,16 +341,22 @@ def _plan(ncellp: int, n: int, margin: int):
     density = n / max(ncellp, 1)
     CP = 1 << max(10, min(17, int(density * SPAN_BULK * 0.8)
                           .bit_length() - 1))
+    CP = min(CP, CHUNK)
     S = SPAN_BULK + 2 * margin + 2 * WIN
     S = -(-S // 1024) * 1024
     S = min(S, ncellp)
-    return CP, S
+    # sorted 128-parcel bulk spans <= 256 cells at density >= 1: the
+    # min/max pairs suffice; the median anchor only pays off when the
+    # bulk outgrows one pair
+    nanc = 2 if density >= 1.0 else 3
+    return CP, S, nanc
 
 
 @functools.partial(
-    jax.jit, static_argnames=("CP", "S", "margin", "mode",
+    jax.jit, static_argnames=("CP", "S", "margin", "mode", "nanc",
                               "interpret"))
-def _slab_call(tab, base, w, CP, S, margin, mode, interpret=False):
+def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3,
+               interpret=False):
     """Pallas dispatch over <=CHUNK parcels."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -369,12 +373,11 @@ def _slab_call(tab, base, w, CP, S, margin, mode, interpret=False):
     bmat = base_p.reshape(nchunk, -1, WIN)             # [nchunk, ng/c, 128]
     gmin = jnp.min(bmat, axis=2)
     gmax = jnp.max(bmat, axis=2)
-    gmed = bmat[:, :, WIN // 2]
-    anchors = jnp.stack(
-        [gmin // WIN,
-         gmed // WIN,
-         jnp.maximum(gmax - (WIN - 1), 0) // WIN],
-        axis=-1).astype(jnp.int32)                     # [nchunk, ng/c, 3]
+    anc = [gmin // WIN]
+    if nanc == 3:
+        anc.append(bmat[:, :, WIN // 2] // WIN)
+    anc.append(jnp.maximum(gmax - (WIN - 1), 0) // WIN)
+    anchors = jnp.stack(anc, axis=-1).astype(jnp.int32)
     s = jnp.clip(jnp.min(gmin, axis=1) // WIN - margin // WIN - 1,
                  0, nblk - S // WIN).astype(jnp.int32)
 
@@ -396,7 +399,7 @@ def _slab_call(tab, base, w, CP, S, margin, mode, interpret=False):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, GB=GB, S=S, mode=mode),
+        functools.partial(_kernel, GB=GB, S=S, mode=mode, nanc=nanc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((OR, npad), jnp.float32),
         interpret=interpret,
@@ -405,13 +408,14 @@ def _slab_call(tab, base, w, CP, S, margin, mode, interpret=False):
     return out[:, :n]
 
 
-def _slab_call_outer(tab, base, w, CP, S, margin, mode,
+def _slab_call_outer(tab, base, w, CP, S, margin, mode, nanc=3,
                      interpret=False):
     """lax.map over <=CHUNK-parcel slices (keeps the prefetched scalar
     arrays inside the 1 MB SMEM)."""
     n = base.shape[0]
     if n <= CHUNK:
-        return _slab_call(tab, base, w, CP, S, margin, mode, interpret)
+        return _slab_call(tab, base, w, CP, S, margin, mode, nanc,
+                          interpret)
     nch = -(-n // CHUNK)
     pad = nch * CHUNK - n
     base_p = jnp.pad(base, (0, pad), mode="edge").reshape(nch, CHUNK)
@@ -419,7 +423,7 @@ def _slab_call_outer(tab, base, w, CP, S, margin, mode,
         jnp.pad(w, ((0, 0), (0, pad))).reshape(4, nch, CHUNK), 1, 0)
     out = jax.lax.map(
         lambda bw: _slab_call(tab, bw[0], bw[1], CP, S, margin, mode,
-                              interpret),
+                              nanc, interpret),
         (base_p, w_p))
     OR = _out_rows(mode)
     return jnp.moveaxis(out, 0, 1).reshape(OR, nch * CHUNK)[:, :n]
@@ -465,29 +469,39 @@ def _fb_rows(pack8, base, idx_bad, oy, ox):
 
 def _apply_fallback(tables: SlabTables, base, w, out, mode, cap,
                     oy=None, ox=None):
-    """Recompute parcels the kernel could not serve (ok row == 0)."""
+    """Recompute parcels the kernel could not serve (ok row == 0).
+
+    At production density the kernel serves everything, so the whole
+    compact + gather + scatter machinery hides behind a lax.cond on
+    an all-served reduction (~free when nothing straggled)."""
     n = base.shape[0]
     ok = out[_ok_row(mode), :] > 0.5
-    idx_bad = _compact_bad(ok, cap)
-    w_bad = jnp.take(w, jnp.minimum(idx_bad, n - 1), axis=1)
-    if mode == "sfc":
-        cols = jnp.take(base, jnp.minimum(idx_bad, n - 1))
-        rows = jnp.take(tables.sfcT, cols, axis=1)     # [128, cap]
-        vals = _sfc_interp_T(rows, w_bad[0:1], w_bad[1:2], w_bad[2:3])
-    else:
-        rows = _fb_rows(tables.pack8, base, idx_bad, oy, ox)
-        if mode == "uvwt":
-            uvw, tt = _trilerp_T(rows, w_bad[0:1], w_bad[1:2],
-                                 w_bad[2:3], w_bad[3:4])
-            vals = jnp.concatenate([uvw, tt], axis=0)
+    nv = {"uvwt": 4, "meso": 3, "sfc": 16}[mode]
+
+    def fix(out_sub):
+        idx_bad = _compact_bad(ok, cap)
+        w_bad = jnp.take(w, jnp.minimum(idx_bad, n - 1), axis=1)
+        if mode == "sfc":
+            cols = jnp.take(base, jnp.minimum(idx_bad, n - 1))
+            rows = jnp.take(tables.sfcT, cols, axis=1)  # [128, cap]
+            vals = _sfc_interp_T(rows, w_bad[0:1], w_bad[1:2],
+                                 w_bad[2:3])
         else:
-            vals = _meso_sigma_T(rows)
-    nv = vals.shape[0]
-    out_v = jnp.concatenate(
-        [out[:nv, :], jnp.zeros((nv, 1), out.dtype)], axis=1)
-    out_v = out_v.at[:, idx_bad].set(vals, mode="drop")
+            rows = _fb_rows(tables.pack8, base, idx_bad, oy, ox)
+            if mode == "uvwt":
+                uvw, tt = _trilerp_T(rows, w_bad[0:1], w_bad[1:2],
+                                     w_bad[2:3], w_bad[3:4])
+                vals = jnp.concatenate([uvw, tt], axis=0)
+            else:
+                vals = _meso_sigma_T(rows)
+        out_v = jnp.concatenate(
+            [out_sub, jnp.zeros((nv, 1), out_sub.dtype)], axis=1)
+        out_v = out_v.at[:, idx_bad].set(vals, mode="drop")
+        return out_v[:, :n]
+
+    out_f = jax.lax.cond(jnp.all(ok), lambda o: o, fix, out[:nv, :])
     served = jnp.mean(ok.astype(jnp.float32))
-    return out_v[:, :n], served
+    return out_f, served
 
 
 # ------------------------------------------------------------- public
@@ -500,9 +514,9 @@ def interp_uvwt(tables: SlabTables, base, weights, oy: int, ox: int,
     (wx, wy, wz, wt); oy/ox = npl / ny*npl flat-index strides.
     Returns ([4, n] f32, served fraction)."""
     n = base.shape[0]
-    CP, S = _plan(tables.packT.shape[1], min(n, CHUNK), ox)
+    CP, S, nanc = _plan(tables.packT.shape[1], n, ox)
     out = _slab_call_outer(tables.packT, base, weights, CP, S, ox,
-                           "uvwt", interpret)
+                           "uvwt", nanc, interpret)
     cap = max(WIN, n // cap_frac)
     return _apply_fallback(tables, base, weights, out, "uvwt", cap,
                            oy, ox)
@@ -512,10 +526,10 @@ def meso_sigma(tables: SlabTables, base, oy: int, ox: int,
                cap_frac: int = 256, interpret: bool = False):
     """Subgrid wind sigma (u, v, w) for ~sorted parcels: [3, n] f32."""
     n = base.shape[0]
-    CP, S = _plan(tables.packT.shape[1], min(n, CHUNK), ox)
+    CP, S, nanc = _plan(tables.packT.shape[1], n, ox)
     w = jnp.zeros((4, n), jnp.float32)
     out = _slab_call_outer(tables.packT, base, w, CP, S, ox, "meso",
-                           interpret)
+                           nanc, interpret)
     cap = max(WIN, n // cap_frac)
     return _apply_fallback(tables, base, w, out, "meso", cap, oy, ox)
 
@@ -529,9 +543,9 @@ def interp_sfc(tables: SlabTables, basexy, weights,
     anchor pairs' reach — so no slab margin is needed.
     Returns ([16, n] f32 in SFC_FIELDS order, served fraction)."""
     n = basexy.shape[0]
-    CP, S = _plan(tables.sfcT.shape[1], min(n, CHUNK), 0)
+    CP, S, nanc = _plan(tables.sfcT.shape[1], n, 0)
     out = _slab_call_outer(tables.sfcT, basexy, weights, CP, S, 0,
-                           "sfc", interpret)
+                           "sfc", nanc, interpret)
     cap = max(WIN, n // cap_frac)
     return _apply_fallback(tables, basexy, weights, out, "sfc", cap)
 
