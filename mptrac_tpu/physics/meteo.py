@@ -44,8 +44,29 @@ def module_meteo(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
            and pack.w64 is not None and pack.w64.shape[-1] == 64
            else None)
     sfc = pack.sfc if pack is not None else None
+    slab = None
+    if (pack is not None and pack.packT is not None
+            and met01.lon.dtype == jnp.float32):
+        from mptrac_tpu.ops import slab_interp
+        slab = slab_interp.SlabTables(packT=pack.packT,
+                                      sfcT=pack.sfcT,
+                                      pack8=pack.pack8)
 
     loc = interp.locate_3d(met01, atm.lon, atm.lat, atm.p)
+
+    # Sorted slab kernel: one kernel call serves u, v, w and T
+    slab_uvwt = None
+    if slab is not None:
+        need_uvwt = ({"t", "u", "v", "w"} & names
+                     or names & {"rho", "vh", "vz", "psat", "psice",
+                                 "pw", "sh", "rh", "rhice", "theta",
+                                 "tvirt", "lapse", "tdew", "tice",
+                                 "tnat", "tsts", "zeta_d"})
+        if need_uvwt:
+            from mptrac_tpu.ops.slab_interp import uvwt_from_loc
+            su, sv, sw, st, _ = uvwt_from_loc(slab, met01, atm.time,
+                                              loc)
+            slab_uvwt = {"u": su, "v": sv, "w": sw, "t": st}
 
     vals3 = {}
     for qname, fname in _Q3D.items():
@@ -55,7 +76,9 @@ def module_meteo(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
                                            "rhice", "theta", "tvirt",
                                            "lapse", "tdew", "tice",
                                            "tnat", "tsts", "zeta_d"}):
-            if fname == "t" and w64 is not None:
+            if slab_uvwt is not None and fname in slab_uvwt:
+                vals3[fname] = slab_uvwt[fname]
+            elif fname == "t" and w64 is not None:
                 vals3[fname] = interp_t_packed64(met01, w64, atm.time,
                                                  loc)
             else:
@@ -63,8 +86,14 @@ def module_meteo(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
                                                      atm.time, loc)
     sfc_names = [f for q2, f in _Q2D.items()
                  if q2 in names and f in SFC_FIELDS]
-    sfc_vals = (interp_sfc_packed(met01, sfc, sfc_names, atm.time, loc)
-                if sfc is not None and sfc_names else {})
+    if slab is not None and slab.sfcT is not None and sfc_names:
+        from mptrac_tpu.ops.slab_interp import sfc_from_loc
+        sfc_vals = sfc_from_loc(slab, met01, sfc_names, atm.time, loc)
+    elif sfc is not None and sfc_names:
+        sfc_vals = interp_sfc_packed(met01, sfc, sfc_names, atm.time,
+                                     loc)
+    else:
+        sfc_vals = {}
     for qname, fname in _Q2D.items():
         if qname in names:
             if fname in sfc_vals:

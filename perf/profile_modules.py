@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--ny", type=int, default=181)
     ap.add_argument("--nz", type=int, default=61)
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--no-lane", action="store_true",
+                    help="skip the sorted slab-kernel path rows")
     args = ap.parse_args()
 
     import jax
@@ -74,6 +76,16 @@ def main():
     met01, atm, cache, clim = jax.device_put((met01, atm, cache, clim))
     pack = jax.jit(build_met_pack)(met01)
     jax.block_until_ready(pack)
+    lane = not args.no_lane and not args.f64
+    lpack = None
+    if lane:
+        import functools
+        from mptrac_tpu.ops.sort import module_sort
+        lpack = jax.jit(functools.partial(build_met_pack,
+                                          lane=True))(met01)
+        jax.block_until_ready(lpack)
+        atm, cache = jax.jit(module_sort)(met01, atm, cache)
+        jax.block_until_ready(atm.lon)
     t = jnp.asarray(180.0, jnp.float64)
     print(f"backend={jax.default_backend()} n={n} "
           f"grid={args.nx}x{args.ny}x{args.nz} "
@@ -106,6 +118,24 @@ def main():
     dt_ms["decay"] = timeit(
         jax.jit(lambda c, a: decay.module_decay(ctl, c, clim, a)),
         cache, atm)
+    if lane:
+        from mptrac_tpu.ops.slab_interp import SlabTables
+        slab = SlabTables(packT=lpack.packT, sfcT=lpack.sfcT,
+                          pack8=lpack.pack8)
+        dt_ms["advect_slab"] = timeit(
+            jax.jit(lambda c, a, m, s: advect.module_advect(
+                ctl, c, m, a, None, s)), cache, atm, met01, slab)
+        dt_ms["diff_meso_slab"] = timeit(
+            jax.jit(lambda c, a, m, s: diffusion.module_diff_meso(
+                ctl, c, m, a, None, s)), cache, atm, met01, slab)
+        dt_ms["diff_turb_slab"] = timeit(
+            jax.jit(lambda c, a, m, s: diffusion.module_diff_turb(
+                ctl, c, clim, m, a, None, s)),
+            cache, atm, met01, lpack.sfcT)
+        dt_ms["full_step_slab"] = timeit(
+            jax.jit(lambda m, a, c, p: pipeline.run_timestep(
+                ctl, clim, m, a, c, t, pack=p)),
+            met01, atm, cache, lpack)
     dt_ms["full_step"] = timeit(
         jax.jit(lambda m, a, c, p: pipeline.run_timestep(
             ctl, clim, m, a, c, t, pack=p)), met01, atm, cache, pack)
