@@ -116,6 +116,11 @@ def main():
                     and "out of memory" not in msg.lower()
                     and "Allocation" not in msg):
                 raise
+            if os.environ.get("BENCH_OOM_DEBUG"):
+                keep = [ln for ln in msg.splitlines()
+                        if not ln.startswith("[2m")]
+                print("\n".join(keep)[:6000], file=sys.stderr,
+                      flush=True)
             args.n_parcels //= 2
             phase(f"OOM — retrying at {args.n_parcels} parcels")
     raise SystemExit("bench failed: persistent OOM")

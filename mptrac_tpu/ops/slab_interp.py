@@ -247,16 +247,20 @@ def _sfc_interp_T(rows, wx, wy, wt):
                      jnp.where(wt < 0.5, v1, v0))
 
 
-def _out_rows(mode: str) -> int:
-    return {"uvwt": 8, "meso": 8, "sfc": 24}[mode]
+def _out_rows(mode) -> int:
+    """Output sublane count: payload rows + ok flag, padded to 8."""
+    nv = _val_rows(mode)
+    return -(-(nv + 1) // 8) * 8
 
 
-def _ok_row(mode: str) -> int:
-    return {"uvwt": 4, "meso": 3, "sfc": 16}[mode]
+def _val_rows(mode) -> int:
+    if isinstance(mode, tuple):                        # ("sfc", fields)
+        return len(mode[1])
+    return {"uvwt": 4, "meso": 3}[mode]
 
 
-def _tab_rows(mode: str) -> int:
-    return 128 if mode == "sfc" else 64
+def _tab_rows(mode) -> int:
+    return 128 if isinstance(mode, tuple) else 64
 
 
 # ------------------------------------------------------------- kernel
@@ -264,11 +268,14 @@ def _tab_rows(mode: str) -> int:
 def _kernel(s_ref, anc_ref, base_ref, w_ref, tab_hbm, out_ref, slab,
             sem, *, GB, S, mode, nanc):
     """Grid (nchunk, GB): step (c, 0) DMAs the chunk slab; every step
-    serves U groups of 128 parcels with three anchor window pairs."""
+    serves U groups of 128 parcels, each with nanc anchor window
+    pairs."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     R = _tab_rows(mode)
+    OR = _out_rows(mode)
+    nv = _val_rows(mode)
     with jax.enable_x64(False):
         c = pl.program_id(0)
         g = pl.program_id(1)
@@ -316,24 +323,21 @@ def _kernel(s_ref, anc_ref, base_ref, w_ref, tab_hbm, out_ref, slab,
             if mode == "uvwt":
                 uvw, tt = _trilerp_T(rows, ws[0:1], ws[1:2], ws[2:3],
                                      ws[3:4])
-                contrib = jnp.concatenate(
-                    [uvw, tt, okf,
-                     jnp.zeros((3, WIN), jnp.float32)], axis=0)
+                vals = jnp.concatenate([uvw, tt], axis=0)
             elif mode == "meso":
-                sig = _meso_sigma_T(rows)
-                contrib = jnp.concatenate(
-                    [sig, okf,
-                     jnp.zeros((4, WIN), jnp.float32)], axis=0)
-            else:                                      # sfc
-                vals = _sfc_interp_T(rows, ws[0:1], ws[1:2], ws[2:3])
-                contrib = jnp.concatenate(
-                    [vals, okf,
-                     jnp.zeros((7, WIN), jnp.float32)], axis=0)
+                vals = _meso_sigma_T(rows)
+            else:                                      # ("sfc", fields)
+                v16 = _sfc_interp_T(rows, ws[0:1], ws[1:2], ws[2:3])
+                vals = jnp.concatenate(
+                    [v16[f:f + 1, :] for f in mode[1]], axis=0)
+            contrib = jnp.concatenate(
+                [vals, okf,
+                 jnp.zeros((OR - nv - 1, WIN), jnp.float32)], axis=0)
             out_ref[:, u * WIN:(u + 1) * WIN] = contrib * okf
 
 
 def _plan(ncellp: int, n: int, margin: int):
-    """(CP, S): parcels per chunk and slab cells.
+    """(CP, S, nanc): parcels per chunk, slab cells, anchors/group.
 
     CP is sized so a sorted chunk spans <= SPAN_BULK cells; S adds the
     +-margin (one longitude cell in flat-index units) plus anchor
@@ -357,7 +361,7 @@ def _plan(ncellp: int, n: int, margin: int):
                               "interpret"))
 def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3,
                interpret=False):
-    """Pallas dispatch over <=CHUNK parcels."""
+    """Pallas dispatch over <=CHUNK parcels; returns [OR, npad]."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -370,7 +374,7 @@ def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3,
 
     base_p = jnp.pad(base, (0, npad - n), mode="edge")
     w_p = jnp.pad(w, ((0, 0), (0, npad - n)))
-    bmat = base_p.reshape(nchunk, -1, WIN)             # [nchunk, ng/c, 128]
+    bmat = base_p.reshape(nchunk, -1, WIN)
     gmin = jnp.min(bmat, axis=2)
     gmax = jnp.max(bmat, axis=2)
     anc = [gmin // WIN]
@@ -398,35 +402,37 @@ def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, GB=GB, S=S, mode=mode, nanc=nanc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((OR, npad), jnp.float32),
         interpret=interpret,
     )(s, anchors.reshape(-1), bmat.reshape(-1, WIN),
       w_p.reshape(4, npad), tab)
-    return out[:, :n]
 
 
-def _slab_call_outer(tab, base, w, CP, S, margin, mode, nanc=3,
-                     interpret=False):
-    """lax.map over <=CHUNK-parcel slices (keeps the prefetched scalar
-    arrays inside the 1 MB SMEM)."""
+def _slab_out3(tab, base, w, CP, S, margin, mode, nanc=3,
+               interpret=False):
+    """Kernel output as [nslice, OR, L] — row-major so per-row
+    extraction later is a reshape, not a transposed copy."""
     n = base.shape[0]
     if n <= CHUNK:
         return _slab_call(tab, base, w, CP, S, margin, mode, nanc,
-                          interpret)
+                          interpret)[None]
     nch = -(-n // CHUNK)
     pad = nch * CHUNK - n
     base_p = jnp.pad(base, (0, pad), mode="edge").reshape(nch, CHUNK)
     w_p = jnp.moveaxis(
         jnp.pad(w, ((0, 0), (0, pad))).reshape(4, nch, CHUNK), 1, 0)
-    out = jax.lax.map(
+    return jax.lax.map(
         lambda bw: _slab_call(tab, bw[0], bw[1], CP, S, margin, mode,
                               nanc, interpret),
         (base_p, w_p))
-    OR = _out_rows(mode)
-    return jnp.moveaxis(out, 0, 1).reshape(OR, nch * CHUNK)[:, :n]
+
+
+def _row(out3, r: int, n: int):
+    """[n] view of output row r from the [nslice, OR, L] stack."""
+    return out3[:, r, :].reshape(-1)[:n]
 
 
 # ------------------------------------------------------ fallback path
@@ -435,7 +441,8 @@ def _compact_bad(ok, cap):
     """Indices of unserved parcels, bounded by cap, without a
     full-length nonzero/argsort (169 ms / 5 ms at 2M on v5e):
     group-level top_k picks the groups containing stragglers, then a
-    small argsort compacts within the candidate window."""
+    small argsort compacts within the candidate window.  Unused slots
+    return n (out of bounds -> dropped by scatter mode='drop')."""
     n = ok.shape[0]
     ng = -(-n // WIN)
     bad = ~ok
@@ -452,56 +459,52 @@ def _compact_bad(ok, cap):
     return jnp.where(sel & (idx < n), idx, n)          # n = dropped
 
 
-def _fb_rows(pack8, base, idx_bad, oy, ox):
-    """8-corner fallback gather: rows [cap, 8, 8lanes] transposed to
-    the kernel's [64, cap] sublane order."""
+def _fb_corner_rows(pack8, base, idx_bad, oy, ox):
+    """8-corner fallback gather: [64, cap] in the kernel's transposed
+    sublane order, from the small row-major pack8 table."""
     b = jnp.take(base, jnp.minimum(idx_bad, base.shape[0] - 1))
     parts = []
     for o in (0, 1, oy, oy + 1, ox, ox + 1, ox + oy, ox + oy + 1):
         parts.append(jnp.take(pack8, jnp.clip(b + o, 0,
                                               pack8.shape[0] - 1),
                               axis=0))                 # [cap, 8]
-    # kernel order: corner-major (u0,v0,w0,u1,v1,w1) then T corners
     wind = jnp.concatenate([p[:, :6] for p in parts], axis=1)
     tcor = jnp.concatenate([p[:, 6:8] for p in parts], axis=1)
     return jnp.concatenate([wind, tcor], axis=1).T     # [64, cap]
 
 
-def _apply_fallback(tables: SlabTables, base, w, out, mode, cap,
+def _apply_fallback(tables: SlabTables, base, w, rows, ok, mode, cap,
                     oy=None, ox=None):
-    """Recompute parcels the kernel could not serve (ok row == 0).
+    """Recompute parcels the kernel could not serve (ok == False).
 
-    At production density the kernel serves everything, so the whole
-    compact + gather + scatter machinery hides behind a lax.cond on
-    an all-served reduction (~free when nothing straggled)."""
+    rows: tuple of [n] value arrays.  At production density the kernel
+    serves everything, so the whole compact + gather + scatter
+    machinery hides behind a lax.cond on an all-served reduction."""
     n = base.shape[0]
-    ok = out[_ok_row(mode), :] > 0.5
-    nv = {"uvwt": 4, "meso": 3, "sfc": 16}[mode]
 
-    def fix(out_sub):
+    def fix(rows_t):
         idx_bad = _compact_bad(ok, cap)
         w_bad = jnp.take(w, jnp.minimum(idx_bad, n - 1), axis=1)
-        if mode == "sfc":
+        if isinstance(mode, tuple):                    # sfc subset
             cols = jnp.take(base, jnp.minimum(idx_bad, n - 1))
-            rows = jnp.take(tables.sfcT, cols, axis=1)  # [128, cap]
-            vals = _sfc_interp_T(rows, w_bad[0:1], w_bad[1:2],
-                                 w_bad[2:3])
+            r128 = jnp.take(tables.sfcT, cols, axis=1)
+            v16 = _sfc_interp_T(r128, w_bad[0:1], w_bad[1:2],
+                                w_bad[2:3])
+            vals = [v16[f] for f in mode[1]]
         else:
-            rows = _fb_rows(tables.pack8, base, idx_bad, oy, ox)
+            r64 = _fb_corner_rows(tables.pack8, base, idx_bad, oy, ox)
             if mode == "uvwt":
-                uvw, tt = _trilerp_T(rows, w_bad[0:1], w_bad[1:2],
+                uvw, tt = _trilerp_T(r64, w_bad[0:1], w_bad[1:2],
                                      w_bad[2:3], w_bad[3:4])
-                vals = jnp.concatenate([uvw, tt], axis=0)
+                vals = [uvw[0], uvw[1], uvw[2], tt[0]]
             else:
-                vals = _meso_sigma_T(rows)
-        out_v = jnp.concatenate(
-            [out_sub, jnp.zeros((nv, 1), out_sub.dtype)], axis=1)
-        out_v = out_v.at[:, idx_bad].set(vals, mode="drop")
-        return out_v[:, :n]
+                sig = _meso_sigma_T(r64)
+                vals = [sig[0], sig[1], sig[2]]
+        return tuple(r.at[idx_bad].set(v, mode="drop")
+                     for r, v in zip(rows_t, vals))
 
-    out_f = jax.lax.cond(jnp.all(ok), lambda o: o, fix, out[:nv, :])
-    served = jnp.mean(ok.astype(jnp.float32))
-    return out_f, served
+    rows = jax.lax.cond(jnp.all(ok), lambda r: r, fix, tuple(rows))
+    return rows, jnp.mean(ok.astype(jnp.float32))
 
 
 # ------------------------------------------------------------- public
@@ -512,42 +515,53 @@ def interp_uvwt(tables: SlabTables, base, weights, oy: int, ox: int,
 
     base [n] int32 flat cell (ix*ny+iy)*npl+iz; weights [4, n] f32
     (wx, wy, wz, wt); oy/ox = npl / ny*npl flat-index strides.
-    Returns ([4, n] f32, served fraction)."""
+    Returns ((u, v, w, T) [n] f32 each, served fraction)."""
     n = base.shape[0]
     CP, S, nanc = _plan(tables.packT.shape[1], n, ox)
-    out = _slab_call_outer(tables.packT, base, weights, CP, S, ox,
-                           "uvwt", nanc, interpret)
+    out3 = _slab_out3(tables.packT, base, weights, CP, S, ox, "uvwt",
+                      nanc, interpret)
+    ok = _row(out3, 4, n) > 0.5
+    rows = [_row(out3, r, n) for r in range(4)]
     cap = max(WIN, n // cap_frac)
-    return _apply_fallback(tables, base, weights, out, "uvwt", cap,
-                           oy, ox)
+    return _apply_fallback(tables, base, weights, rows, ok, "uvwt",
+                           cap, oy, ox)
 
 
 def meso_sigma(tables: SlabTables, base, oy: int, ox: int,
                cap_frac: int = 256, interpret: bool = False):
-    """Subgrid wind sigma (u, v, w) for ~sorted parcels: [3, n] f32."""
+    """Subgrid wind sigma for ~sorted parcels: ((su, sv, sw), served)."""
     n = base.shape[0]
     CP, S, nanc = _plan(tables.packT.shape[1], n, ox)
     w = jnp.zeros((4, n), jnp.float32)
-    out = _slab_call_outer(tables.packT, base, w, CP, S, ox, "meso",
-                           nanc, interpret)
+    out3 = _slab_out3(tables.packT, base, w, CP, S, ox, "meso", nanc,
+                      interpret)
+    ok = _row(out3, 3, n) > 0.5
+    rows = [_row(out3, r, n) for r in range(3)]
     cap = max(WIN, n // cap_frac)
-    return _apply_fallback(tables, base, w, out, "meso", cap, oy, ox)
+    return _apply_fallback(tables, base, w, rows, ok, "meso", cap,
+                           oy, ox)
 
 
-def interp_sfc(tables: SlabTables, basexy, weights,
+def interp_sfc(tables: SlabTables, basexy, weights, fields,
                cap_frac: int = 256, interpret: bool = False):
-    """All 16 packed surface fields for ~sorted parcels.
+    """Selected surface fields for ~sorted parcels.
 
-    basexy [n] int32 = ix*ny+iy; weights [4, n] f32 (wx, wy, wt, 0).
-    A +-1-lon-cell jump is only +-ny in flat-xy index — within the
-    anchor pairs' reach — so no slab margin is needed.
-    Returns ([16, n] f32 in SFC_FIELDS order, served fraction)."""
+    basexy [n] int32 = ix*ny+iy; weights [4, n] f32 (wx, wy, wt, 0);
+    fields = static tuple of SFC_FIELDS indices.  A +-1-lon-cell jump
+    is only +-ny in flat-xy index — within the anchor pairs' reach —
+    so no slab margin is needed.
+    Returns (tuple of [n] f32 per field, served fraction)."""
     n = basexy.shape[0]
     CP, S, nanc = _plan(tables.sfcT.shape[1], n, 0)
-    out = _slab_call_outer(tables.sfcT, basexy, weights, CP, S, 0,
-                           "sfc", nanc, interpret)
+    mode = ("sfc", tuple(fields))
+    out3 = _slab_out3(tables.sfcT, basexy, weights, CP, S, 0, mode,
+                      nanc, interpret)
+    nv = len(fields)
+    ok = _row(out3, nv, n) > 0.5
+    rows = [_row(out3, r, n) for r in range(nv)]
     cap = max(WIN, n // cap_frac)
-    return _apply_fallback(tables, basexy, weights, out, "sfc", cap)
+    return _apply_fallback(tables, basexy, weights, rows, ok, mode,
+                           cap)
 
 
 # ----------------------------------------- module-facing convenience
@@ -568,12 +582,12 @@ def uvwt_from_loc(tables: SlabTables, met01: Met, ts, loc,
     base = ((loc.ix * ny + loc.iy) * npl + loc.iz).astype(jnp.int32)
     wt = interp.time_weight(met01, ts)
     w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]).astype(jnp.float32)
-    out, served = interp_uvwt(
+    (u, v, w, t), served = interp_uvwt(
         tables, base, w4, npl, ny * npl,
         interpret=_auto_interpret() if interpret is None else interpret)
     dtype = met01.lon.dtype
-    return (out[0].astype(dtype), out[1].astype(dtype),
-            out[2].astype(dtype), out[3].astype(dtype), served)
+    return (u.astype(dtype), v.astype(dtype), w.astype(dtype),
+            t.astype(dtype), served)
 
 
 def sfc_from_loc(tables: SlabTables, met01: Met, names, ts, loc,
@@ -586,9 +600,9 @@ def sfc_from_loc(tables: SlabTables, met01: Met, names, ts, loc,
     wt = interp.time_weight(met01, ts)
     w4 = jnp.stack([loc.wx, loc.wy, wt,
                     jnp.zeros_like(wt)]).astype(jnp.float32)
-    out, served = interp_sfc(
-        tables, basexy, w4,
+    fields = tuple(SFC_FIELDS.index(name) for name in names)
+    vals, served = interp_sfc(
+        tables, basexy, w4, fields,
         interpret=_auto_interpret() if interpret is None else interpret)
     dtype = loc.wy.dtype
-    return {name: out[SFC_FIELDS.index(name)].astype(dtype)
-            for name in names}
+    return {name: v.astype(dtype) for name, v in zip(names, vals)}

@@ -155,10 +155,9 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
         # whole 16-point stencil for a 128-parcel group
         from mptrac_tpu.ops import slab_interp
         base = ((ix * ny + iy) * npl + iz).astype(jnp.int32)
-        sig, _ = slab_interp.meso_sigma(
+        (usig, vsig, wsig), _ = slab_interp.meso_sigma(
             slab, base, npl, ny * npl,
             interpret=slab_interp._auto_interpret())
-        usig, vsig, wsig = sig[0], sig[1], sig[2]
     elif pack is not None and pack.shape[-1] == 64:
         # The 64-wide corner row already holds all 8 corners x 2
         # snapshots: the whole 16-point stencil is ONE gather offset

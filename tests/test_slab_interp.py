@@ -52,8 +52,8 @@ def test_uvwt_matches_packed64():
                     np.asarray(w_ref), np.asarray(t_ref)]
                    )[:, np.asarray(order)]
     # f64 parity-path wt vs kernel f32 wt: one-ulp slack
-    np.testing.assert_allclose(np.asarray(out, np.float64), ref,
-                               rtol=3e-6, atol=2e-5)
+    got = np.stack([np.asarray(x, np.float64) for x in out])
+    np.testing.assert_allclose(got, ref, rtol=3e-6, atol=2e-5)
 
 
 def test_uvwt_unsorted_recovered_by_fallback():
@@ -74,8 +74,8 @@ def test_uvwt_unsorted_recovered_by_fallback():
                                  cap_frac=1, interpret=True)
     ref = np.stack([np.asarray(u_ref), np.asarray(v_ref),
                     np.asarray(w_ref)])
-    np.testing.assert_allclose(np.asarray(out[:3], np.float64), ref,
-                               rtol=3e-6, atol=2e-5)
+    got = np.stack([np.asarray(x, np.float64) for x in out[:3]])
+    np.testing.assert_allclose(got, ref, rtol=3e-6, atol=2e-5)
 
 
 def test_meso_matches_pack64_path():
@@ -107,6 +107,7 @@ def test_meso_matches_pack64_path():
 
     sig, served = SL.meso_sigma(tables, base_s, npl, ny * npl,
                                 cap_frac=4, interpret=True)
+    sig = jnp.stack(sig)
     assert float(served) > 0.8
     # var = msq - mean^2 cancels ~6 digits on smooth wind fields, so
     # 0.5-ulp fma-contraction differences between the two graphs are
@@ -131,11 +132,11 @@ def test_sfc_matches_sfc_packed():
     wt = (met01.time[1] - ts) / (met01.time[1] - met01.time[0])
     w4 = jnp.stack([loc.wx, loc.wy, wt, jnp.zeros_like(wt)]
                    ).astype(jnp.float32)[:, order]
-    out, served = SL.interp_sfc(tables, basexy[order], w4,
+    fields = tuple(SL.SFC_FIELDS.index(name) for name in names)
+    out, served = SL.interp_sfc(tables, basexy[order], w4, fields,
                                 interpret=True)
     assert float(served) > 0.9
-    for name in names:
-        i = SL.SFC_FIELDS.index(name)
+    for i, name in enumerate(names):
         np.testing.assert_allclose(
             np.asarray(out[i], np.float64),
             np.asarray(ref[name])[np.asarray(order)],
