@@ -194,27 +194,46 @@ def run_flagship(args, g, pipeline, jnp, jax, phase):
         k = args.scan
 
         def step_block(a, c, i0):
-            if sort_fn is not None:
-                a, c = sort_fn(met01, a, c)
             ts = (jnp.arange(k, dtype=jnp.float64) + i0 + 1) \
                 * ctl.dt_mod
             if pack is not None:
                 return scan(met01, a, c, ts, pack)
             return scan(met01, a, c, ts)
 
+        # Adaptive re-sorting: the slab kernel tracks the fraction of
+        # parcels served from sorted locality; only re-sort (expensive
+        # column permutes) when it dips.  Coherent drift is followed
+        # by the kernel's per-call anchors, so this is rare.
+        sort_thresh = float(os.environ.get("BENCH_SORT_THRESH",
+                                           "0.995"))
+        if sort_fn is not None:
+            atm, cache = sort_fn(met01, atm, cache)
         a, c = step_block(atm, cache, 0)
+        fetch(a, c)
+        # second warmup block: the first post-compile execution pays
+        # one-time runtime costs (allocator growth, executable upload)
+        a, c = step_block(a, c, k)
         fetch(a, c)
         phase("compile + warmup (scan path)")
         nblocks = max(1, args.steps // k)
         block_t = []
+        nsorts = 0
         for b in range(nblocks):
             tb = time.time()
-            a, c = step_block(a, c, (b + 1) * k)
+            if (sort_fn is not None
+                    and float(c.served_min) < sort_thresh):
+                a, c = sort_fn(met01, a, c)
+                nsorts += 1
+            a, c = step_block(a, c, (b + 2) * k)
             fetch(a, c)
             block_t.append(time.time() - tb)
         dt = sum(block_t)
+        served = (float(c.served_min) if sort_fn is not None
+                  else None)
         phase(f"timed {nblocks} blocks x {k} steps: "
-              + " ".join(f"{x:.2f}s" for x in block_t))
+              + " ".join(f"{x:.2f}s" for x in block_t)
+              + (f" (resorts={nsorts}, served_min={served:.4f})"
+                 if served is not None else ""))
         rate = args.n_parcels * nblocks * k / dt
     else:
         step = jax.jit(

@@ -18,10 +18,12 @@ from mptrac_tpu.types import Atm, Cache, Met
 
 
 def module_advect(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
-                  pack=None, slab=None) -> Atm:
+                  pack=None, slab=None):
+    """Returns (atm, cache) — cache carries the slab-kernel served
+    diagnostic (cache.served_min) when the slab path is active."""
     if ctl.advect_vert_coord in (0, 2):
         return _advect_plev(ctl, cache, met01, atm, pack, slab)
-    return _advect_zeta(ctl, cache, met01, atm)
+    return _advect_zeta(ctl, cache, met01, atm), cache
 
 
 def _rk_weight(ctl: Ctl, i: int) -> float:
@@ -33,7 +35,7 @@ def _rk_weight(ctl: Ctl, i: int) -> float:
 
 
 def _advect_plev(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
-                 pack=None, slab=None) -> Atm:
+                 pack=None, slab=None):
     """Kinematic advection with omega on pressure levels
     (advect_vert_coord 0) or on model levels (2).
 
@@ -62,8 +64,11 @@ def _advect_plev(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
             # production TPU hot path
             from mptrac_tpu.ops import slab_interp
             loc = interp.locate_3d(met01, x[0], x[1], x[2])
-            u, v, w, _, _ = slab_interp.uvwt_from_loc(slab, met01, tm,
-                                                      loc)
+            u, v, w, _, srv = slab_interp.uvwt_from_loc(slab, met01,
+                                                        tm, loc)
+            if cache.served_min is not None:
+                cache = cache.replace(served_min=jnp.minimum(
+                    cache.served_min, srv.astype(jnp.float32)))
         elif ctl.advect_vert_coord == 0 and pack is not None:
             from mptrac_tpu.ops.fast_interp import (interp_uvw_packed,
                                                     interp_uvw_packed64)
@@ -98,7 +103,7 @@ def _advect_plev(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
         time=jnp.where(active, new_time, atm.time),
         lon=jnp.where(active, new_lon, atm.lon),
         lat=jnp.where(active, new_lat, atm.lat),
-        p=jnp.where(active, new_p, atm.p))
+        p=jnp.where(active, new_p, atm.p)), cache
 
 
 def _advect_zeta(ctl: Ctl, cache: Cache, met01: Met, atm: Atm) -> Atm:

@@ -73,8 +73,8 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
     # Advection
     if ctl.advect > 0:
         with jax.named_scope("module_advect"):
-            atm = m_advect.module_advect(ctl, cache, met01, atm, wpack,
-                                         slab)
+            atm, cache = m_advect.module_advect(ctl, cache, met01,
+                                                atm, wpack, slab)
 
     # Turbulent diffusion
     if ctl.diffusion and (

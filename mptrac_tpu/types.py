@@ -92,6 +92,9 @@ class Cache:
     iso_ps: jnp.ndarray        # balloon pressure track [nmax]
     iso_ts: jnp.ndarray        # balloon time track [nmax]
     iso_n: jnp.ndarray         # int32 scalar
+    served_min: jnp.ndarray = None  # f32 scalar: min slab-kernel
+    #   served fraction since the last sort (framework diagnostic;
+    #   drives adaptive re-sorting, see ops.slab_interp)
 
     @staticmethod
     def zeros(npmax: int, dtype=jnp.float64, iso_nmax: int = 1,
@@ -107,6 +110,7 @@ class Cache:
             iso_ps=jnp.zeros(iso_nmax, dtype),
             iso_ts=jnp.zeros(iso_nmax, dtype),
             iso_n=jnp.asarray(0, jnp.int32),
+            served_min=jnp.asarray(1.0, jnp.float32),
         )
 
     def replace(self, **kw) -> "Cache":
@@ -114,7 +118,7 @@ class Cache:
 
 
 _register(Cache, ["uvwp", "dt", "rng_ctr", "iso_var", "iso_ps", "iso_ts",
-                  "iso_n"])
+                  "iso_n", "served_min"])
 
 
 #: 3-D fields of a meteo snapshot on pressure levels

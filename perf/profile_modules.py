@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--no-lane", action="store_true",
                     help="skip the sorted slab-kernel path rows")
+    ap.add_argument("--fast", action="store_true",
+                    help="only the production (slab) rows + primitives")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +99,62 @@ def main():
     jax.block_until_ready(cache.dt)
 
     dt_ms = {}
+    if args.fast:
+        import numpy as _np
+        from mptrac_tpu.ops.slab_interp import SlabTables
+        from mptrac_tpu.ops.rng import squares_normal3_f32
+        from mptrac_tpu.ops.sort import module_sort
+        slab = SlabTables(packT=lpack.packT, sfcT=lpack.sfcT,
+                          pack8=lpack.pack8)
+        dt_ms["timesteps"] = timeit(
+            jax.jit(lambda c, a, m: timesteps.module_timesteps(
+                ctl, c, m, a, t)), cache, atm, met01)
+        dt_ms["position"] = timeit(
+            jax.jit(lambda c, a, m: position.module_position(
+                c, m, a, None)), cache, atm, met01)
+        dt_ms["advect_slab"] = timeit(
+            jax.jit(lambda c, a, m, s: advect.module_advect(
+                ctl, c, m, a, None, s)), cache, atm, met01, slab)
+        dt_ms["diff_turb_slab"] = timeit(
+            jax.jit(lambda c, a, m, s: diffusion.module_diff_turb(
+                ctl, c, clim, m, a, None, s)),
+            cache, atm, met01, lpack.sfcT)
+        dt_ms["diff_meso_slab"] = timeit(
+            jax.jit(lambda c, a, m, s: diffusion.module_diff_meso(
+                ctl, c, m, a, None, s)), cache, atm, met01, slab)
+        srv = jax.jit(lambda c, a, m, s: advect.module_advect(
+            ctl, c, m, a, None, s))(cache, atm, met01, slab)[1]
+        print("advect served_min:",
+              float(srv.served_min))
+        dt_ms["decay"] = timeit(
+            jax.jit(lambda c, a: decay.module_decay(ctl, c, clim, a)),
+            cache, atm)
+        from mptrac_tpu.physics import meteo as m_meteo
+        dt_ms["meteo_slab"] = timeit(
+            jax.jit(lambda c, a, m, p: m_meteo.module_meteo(
+                ctl, c, clim, m, a, p)), cache, atm, met01, lpack)
+        dt_ms["full_step_slab"] = timeit(
+            jax.jit(lambda m, a, c, p: pipeline.run_timestep(
+                ctl, clim, m, a, c, t, pack=p)),
+            met01, atm, cache, lpack)
+        dt_ms["sort"] = timeit(
+            jax.jit(module_sort), met01, atm, cache, n=3)
+        dt_ms["rng3_f32"] = timeit(
+            jax.jit(lambda c: squares_normal3_f32(c, n)),
+            cache.rng_ctr)
+        dt_ms["locate_3d"] = timeit(
+            jax.jit(lambda a, m: interp.locate_3d(
+                m, a.lon, a.lat, a.p)), atm, met01)
+        total = sum(v for k, v in dt_ms.items()
+                    if k in ("timesteps", "position", "advect_slab",
+                             "diff_turb_slab", "diff_meso_slab",
+                             "decay", "meteo_slab"))
+        print(f"{'module':<18} {'ms':>10} {'Mp/s':>10}")
+        for k, v in dt_ms.items():
+            print(f"{k:<18} {v:>10.2f} {n / v / 1e3:>10.1f}")
+        print(f"{'sum(modules)':<18} {total:>10.2f} "
+              f"{n / total / 1e3:>10.1f}")
+        return
     dt_ms["timesteps"] = timeit(
         jax.jit(lambda c, a, m: timesteps.module_timesteps(
             ctl, c, m, a, t)), cache, atm, met01)
