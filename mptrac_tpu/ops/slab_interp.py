@@ -349,10 +349,11 @@ def _plan(ncellp: int, n: int, margin: int):
     S = SPAN_BULK + 2 * margin + 2 * WIN
     S = -(-S // 1024) * 1024
     S = min(S, ncellp)
-    # sorted 128-parcel bulk spans <= 256 cells at density >= 1: the
-    # min/max pairs suffice; the median anchor only pays off when the
-    # bulk outgrows one pair
-    nanc = 2 if density >= 1.0 else 3
+    # three anchors (min/median/max) cover bulk + two straggler
+    # clusters (e.g. lat-crossers below the bulk + lon-crossers at
+    # +-ny*npl); with two anchors the serving fraction decays ~5x
+    # faster between sorts
+    nanc = 3
     return CP, S, nanc
 
 
@@ -382,8 +383,13 @@ def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3,
         anc.append(bmat[:, :, WIN // 2] // WIN)
     anc.append(jnp.maximum(gmax - (WIN - 1), 0) // WIN)
     anchors = jnp.stack(anc, axis=-1).astype(jnp.int32)
-    s = jnp.clip(jnp.min(gmin, axis=1) // WIN - margin // WIN - 1,
-                 0, nblk - S // WIN).astype(jnp.int32)
+    # center the slab on the chunk's MEDIAN group anchor: between
+    # sorts the population drifts coherently (e.g. +1..+2 longitude
+    # cells); centering follows the crossed majority so the +-S/2
+    # reach covers both the crossed clusters and the laggards
+    med = jnp.median(anc[0], axis=1).astype(jnp.int32)
+    s = jnp.clip(med - (S // WIN) // 2, 0,
+                 nblk - S // WIN).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -473,13 +479,8 @@ def _fb_corner_rows(pack8, base, idx_bad, oy, ox):
     return jnp.concatenate([wind, tcor], axis=1).T     # [64, cap]
 
 
-def _apply_fallback(tables: SlabTables, base, w, rows, ok, mode, cap,
-                    oy=None, ox=None):
-    """Recompute parcels the kernel could not serve (ok == False).
-
-    rows: tuple of [n] value arrays.  At production density the kernel
-    serves everything, so the whole compact + gather + scatter
-    machinery hides behind a lax.cond on an all-served reduction."""
+def _fix_with_cap(tables, base, w, ok, mode, cap, oy, ox):
+    """One fallback pass at a static cap: compact + gather + values."""
     n = base.shape[0]
 
     def fix(rows_t):
@@ -503,14 +504,37 @@ def _apply_fallback(tables: SlabTables, base, w, rows, ok, mode, cap,
         return tuple(r.at[idx_bad].set(v, mode="drop")
                      for r, v in zip(rows_t, vals))
 
-    rows = jax.lax.cond(jnp.all(ok), lambda r: r, fix, tuple(rows))
+    return fix
+
+
+def _apply_fallback(tables: SlabTables, base, w, rows, ok, mode, cap,
+                    oy=None, ox=None):
+    """Recompute parcels the kernel could not serve (ok == False).
+
+    rows: tuple of [n] value arrays.  Tiered: freshly sorted parcels
+    are all served (the machinery hides behind a lax.cond); a few
+    stragglers go through a small-cap pass; a drifted population
+    (driver overdue for a resort) through a large-cap pass sized to
+    guarantee coverage up to cap parcels."""
+    n = base.shape[0]
+    cap_small = min(cap, max(WIN, n // 2048))
+    nbad = jnp.sum((~ok).astype(jnp.int32))
+    fix_small = _fix_with_cap(tables, base, w, ok, mode, cap_small,
+                              oy, ox)
+    fix_large = _fix_with_cap(tables, base, w, ok, mode, cap, oy, ox)
+
+    rows = jax.lax.cond(
+        nbad == 0, lambda r: r,
+        lambda r: jax.lax.cond(nbad <= cap_small, fix_small,
+                               fix_large, r),
+        tuple(rows))
     return rows, jnp.mean(ok.astype(jnp.float32))
 
 
 # ------------------------------------------------------------- public
 
 def interp_uvwt(tables: SlabTables, base, weights, oy: int, ox: int,
-                cap_frac: int = 256, interpret: bool = False):
+                cap_frac: int = 16, interpret: bool = False):
     """(u, v, w, T) for ~sorted parcels.
 
     base [n] int32 flat cell (ix*ny+iy)*npl+iz; weights [4, n] f32
@@ -528,7 +552,7 @@ def interp_uvwt(tables: SlabTables, base, weights, oy: int, ox: int,
 
 
 def meso_sigma(tables: SlabTables, base, oy: int, ox: int,
-               cap_frac: int = 256, interpret: bool = False):
+               cap_frac: int = 16, interpret: bool = False):
     """Subgrid wind sigma for ~sorted parcels: ((su, sv, sw), served)."""
     n = base.shape[0]
     CP, S, nanc = _plan(tables.packT.shape[1], n, ox)
@@ -543,7 +567,7 @@ def meso_sigma(tables: SlabTables, base, oy: int, ox: int,
 
 
 def interp_sfc(tables: SlabTables, basexy, weights, fields,
-               cap_frac: int = 256, interpret: bool = False):
+               cap_frac: int = 16, interpret: bool = False):
     """Selected surface fields for ~sorted parcels.
 
     basexy [n] int32 = ix*ny+iy; weights [4, n] f32 (wx, wy, wt, 0);

@@ -25,17 +25,35 @@ from mptrac_tpu.types import Atm, Cache, Met
 
 def sort_key(met: Met, atm: Atm) -> jnp.ndarray:
     """Met grid-box index per parcel (reference c:5770-5776:
-    idx = (ix * ny + iy) * np + iz)."""
-    lons = met.lon[0] if met.lon.ndim == 2 else met.lon
+    idx = (ix * ny + iy) * np + iz).
+
+    Uses the SAME locator as the interpolation kernels (locate_3d,
+    including the longitude wrap into the grid convention) so the
+    sorted order matches the slab kernel's cell indices exactly."""
     lats = met.lat[0] if met.lat.ndim == 2 else met.lat
     ps = met.p[0] if met.p.ndim == 2 else met.p
-    ix = interp.locate_reg(lons, atm.lon)
-    iy = interp.locate_irr(lats, atm.lat)
-    iz = interp.locate_irr(ps, atm.p)
+    loc = interp.locate_3d(met, atm.lon, atm.lat, atm.p)
     ny, npl = lats.shape[0], ps.shape[0]
-    key = (ix * ny + iy) * npl + iz
+    key = (loc.ix * ny + loc.iy) * npl + loc.iz
     # keep padding at the end
     return jnp.where(atm.mask, key, jnp.iinfo(jnp.int32).max)
+
+
+def _take_f32_pairs(cols, perm):
+    """Permute pairs of f32 columns as one f64 gather each: XLA's
+    gather costs ~13 ns per OFFSET regardless of row width, so packing
+    two 4-byte columns into one 8-byte element halves the permute
+    cost."""
+    out = []
+    for i in range(0, len(cols) - 1, 2):
+        packed = jax.lax.bitcast_convert_type(
+            jnp.stack([cols[i], cols[i + 1]], axis=-1), jnp.float64)
+        taken = jax.lax.bitcast_convert_type(
+            jnp.take(packed, perm), jnp.float32)
+        out += [taken[:, 0], taken[:, 1]]
+    if len(cols) % 2:
+        out.append(jnp.take(cols[-1], perm))
+    return out
 
 
 def module_sort(met: Met, atm: Atm, cache: Cache):
@@ -48,17 +66,45 @@ def module_sort(met: Met, atm: Atm, cache: Cache):
 
     # (atm.mask is the prefix arange < np; masked parcels sort to the
     # end, so the permuted state keeps a consistent prefix mask)
-    atm2 = atm.replace(
-        time=take(atm.time), p=take(atm.p), lon=take(atm.lon),
-        lat=take(atm.lat),
-        q={k: take(v) for k, v in atm.q.items()})
+    iso_per_parcel = cache.iso_var.shape[0] == atm.lon.shape[0]
+    if atm.lon.dtype == jnp.float32 and cache.dt.dtype == jnp.float32:
+        cols = [atm.lon, atm.lat, atm.p, cache.dt,
+                cache.uvwp[0], cache.uvwp[1], cache.uvwp[2]]
+        qnames = [k for k in atm.q
+                  if atm.q[k].dtype == jnp.float32]
+        cols += [atm.q[k] for k in qnames]
+        if iso_per_parcel and cache.iso_var.dtype == jnp.float32:
+            cols.append(cache.iso_var)
+            iso_packed = True
+        else:
+            iso_packed = False
+        out = _take_f32_pairs(cols, perm)
+        lon, lat, p, dtc, u0, v0, w0 = out[:7]
+        qvals = out[7:7 + len(qnames)]
+        q = dict(atm.q)
+        for k, v in zip(qnames, qvals):
+            q[k] = v
+        for k in q:
+            if k not in qnames:
+                q[k] = take(atm.q[k])
+        atm2 = atm.replace(time=take(atm.time), p=p, lon=lon, lat=lat,
+                           q=q)
+        iso2 = (out[7 + len(qnames)] if iso_packed
+                else (take(cache.iso_var) if iso_per_parcel
+                      else cache.iso_var))
+        cache2 = cache.replace(
+            uvwp=jnp.stack([u0, v0, w0]),
+            dt=dtc.astype(cache.dt.dtype), iso_var=iso2)
+    else:
+        atm2 = atm.replace(
+            time=take(atm.time), p=take(atm.p), lon=take(atm.lon),
+            lat=take(atm.lat),
+            q={k: take(v) for k, v in atm.q.items()})
+        cache2 = cache.replace(
+            uvwp=jnp.take(cache.uvwp, perm, axis=1),
+            dt=take(cache.dt),
+            iso_var=(take(cache.iso_var) if iso_per_parcel
+                     else cache.iso_var))
     served = (jnp.asarray(1.0, jnp.float32)
               if cache.served_min is not None else None)
-    cache2 = cache.replace(
-        uvwp=jnp.take(cache.uvwp, perm, axis=1),
-        dt=take(cache.dt),
-        iso_var=(take(cache.iso_var)
-                 if cache.iso_var.shape[0] == atm.lon.shape[0]
-                 else cache.iso_var),
-        served_min=served)
-    return atm2, cache2
+    return atm2, cache2.replace(served_min=served)
