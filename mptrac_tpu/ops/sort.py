@@ -17,6 +17,7 @@ locality."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from mptrac_tpu.ops import interp
