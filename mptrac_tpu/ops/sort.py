@@ -47,11 +47,11 @@ def _take_f32_pairs(cols, perm):
     cost."""
     out = []
     for i in range(0, len(cols) - 1, 2):
-        packed = jax.lax.bitcast_convert_type(
-            jnp.stack([cols[i], cols[i + 1]], axis=-1), jnp.float64)
-        taken = jax.lax.bitcast_convert_type(
-            jnp.take(packed, perm), jnp.float32)
-        out += [taken[:, 0], taken[:, 1]]
+        # complex64 = two packed f32 (a plain u64 bitcast does not
+        # lower through XLA:TPU's x64 rewriting)
+        packed = jax.lax.complex(cols[i], cols[i + 1])
+        taken = jnp.take(packed, perm)
+        out += [jnp.real(taken), jnp.imag(taken)]
     if len(cols) % 2:
         out.append(jnp.take(cols[-1], perm))
     return out
