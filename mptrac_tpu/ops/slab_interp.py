@@ -523,11 +523,12 @@ def _apply_fallback(tables: SlabTables, base, w, rows, ok, mode, cap,
                               oy, ox)
     fix_large = _fix_with_cap(tables, base, w, ok, mode, cap, oy, ox)
 
-    rows = jax.lax.cond(
-        nbad == 0, lambda r: r,
-        lambda r: jax.lax.cond(nbad <= cap_small, fix_small,
-                               fix_large, r),
-        tuple(rows))
+    # two sequential guards (a nested lax.cond of the two tiers
+    # crashes the XLA:TPU runtime inside lax.scan)
+    rows = jax.lax.cond((nbad > 0) & (nbad <= cap_small), fix_small,
+                        lambda r: r, tuple(rows))
+    rows = jax.lax.cond(nbad > cap_small, fix_large, lambda r: r,
+                        tuple(rows))
     return rows, jnp.mean(ok.astype(jnp.float32))
 
 

@@ -41,20 +41,12 @@ def sort_key(met: Met, atm: Atm) -> jnp.ndarray:
 
 
 def _take_f32_pairs(cols, perm):
-    """Permute pairs of f32 columns as one f64 gather each: XLA's
-    gather costs ~13 ns per OFFSET regardless of row width, so packing
-    two 4-byte columns into one 8-byte element halves the permute
-    cost."""
-    out = []
-    for i in range(0, len(cols) - 1, 2):
-        # complex64 = two packed f32 (a plain u64 bitcast does not
-        # lower through XLA:TPU's x64 rewriting)
-        packed = jax.lax.complex(cols[i], cols[i + 1])
-        taken = jnp.take(packed, perm)
-        out += [jnp.real(taken), jnp.imag(taken)]
-    if len(cols) % 2:
-        out.append(jnp.take(cols[-1], perm))
-    return out
+    """Permute the f32 state columns.  (Pairing columns into wider
+    elements was tried — complex64 packing, f64 bitcast — but XLA:TPU
+    either cannot lower the bitcast or gathers the pair as two
+    offsets, so plain per-column gathers are the fastest portable
+    form; the driver amortizes them by re-sorting adaptively.)"""
+    return [jnp.take(c, perm) for c in cols]
 
 
 def module_sort(met: Met, atm: Atm, cache: Cache):
