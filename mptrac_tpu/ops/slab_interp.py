@@ -486,48 +486,52 @@ def _fix_with_cap(tables, base, w, ok, mode, cap, oy, ox):
     def fix(rows_t):
         idx_bad = _compact_bad(ok, cap)
         w_bad = jnp.take(w, jnp.minimum(idx_bad, n - 1), axis=1)
-        if isinstance(mode, tuple):                    # sfc subset
-            cols = jnp.take(base, jnp.minimum(idx_bad, n - 1))
-            r128 = jnp.take(tables.sfcT, cols, axis=1)
-            v16 = _sfc_interp_T(r128, w_bad[0:1], w_bad[1:2],
-                                w_bad[2:3])
-            vals = [v16[f] for f in mode[1]]
-        else:
-            r64 = _fb_corner_rows(tables.pack8, base, idx_bad, oy, ox)
-            if mode == "uvwt":
-                uvw, tt = _trilerp_T(r64, w_bad[0:1], w_bad[1:2],
-                                     w_bad[2:3], w_bad[3:4])
-                vals = [uvw[0], uvw[1], uvw[2], tt[0]]
-            else:
-                sig = _meso_sigma_T(r64)
-                vals = [sig[0], sig[1], sig[2]]
+        vals = _fb_values(tables, base, w_bad, idx_bad, mode, oy, ox)
         return tuple(r.at[idx_bad].set(v, mode="drop")
                      for r, v in zip(rows_t, vals))
 
     return fix
 
 
+def _fb_values(tables, base, w_bad, idx_bad, mode, oy, ox):
+    """Exact per-parcel values for the index list (transposed-layout
+    arithmetic identical to the kernel's)."""
+    n = base.shape[0]
+    if isinstance(mode, tuple):                        # sfc subset
+        cols = jnp.take(base, jnp.minimum(idx_bad, n - 1))
+        r128 = jnp.take(tables.sfcT, cols, axis=1)
+        v16 = _sfc_interp_T(r128, w_bad[0:1], w_bad[1:2], w_bad[2:3])
+        return [v16[f] for f in mode[1]]
+    r64 = _fb_corner_rows(tables.pack8, base, idx_bad, oy, ox)
+    if mode == "uvwt":
+        uvw, tt = _trilerp_T(r64, w_bad[0:1], w_bad[1:2], w_bad[2:3],
+                             w_bad[3:4])
+        return [uvw[0], uvw[1], uvw[2], tt[0]]
+    sig = _meso_sigma_T(r64)
+    return [sig[0], sig[1], sig[2]]
+
+
 def _apply_fallback(tables: SlabTables, base, w, rows, ok, mode, cap,
                     oy=None, ox=None):
     """Recompute parcels the kernel could not serve (ok == False).
 
-    rows: tuple of [n] value arrays.  Tiered: freshly sorted parcels
-    are all served (the machinery hides behind a lax.cond); a few
-    stragglers go through a small-cap pass; a drifted population
-    (driver overdue for a resort) through a large-cap pass sized to
-    guarantee coverage up to cap parcels."""
+    rows: tuple of [n] value arrays.  Freshly sorted parcels are all
+    served, so the compact + gather machinery hides behind a lax.cond
+    on the straggler count.  The cap bounds BOTH the cost and the
+    coverage: the driver must re-sort before the unserved fraction
+    approaches cap/n (default 1/32; see cache.served_min and the
+    adaptive re-sort threshold).  The returned served fraction lets
+    the driver detect a missed deadline loudly.
+
+    (Memory note: multiple fallback tiers were tried; the extra
+    lax.cond branch temps push a 50M-parcel lax.scan over the HBM
+    edge and crash the runtime, so there is exactly one tier.)"""
     n = base.shape[0]
-    cap_small = min(cap, max(WIN, n // 2048))
+    cap_small = min(cap, max(WIN, n // 32))
     nbad = jnp.sum((~ok).astype(jnp.int32))
     fix_small = _fix_with_cap(tables, base, w, ok, mode, cap_small,
                               oy, ox)
-    fix_large = _fix_with_cap(tables, base, w, ok, mode, cap, oy, ox)
-
-    # two sequential guards (a nested lax.cond of the two tiers
-    # crashes the XLA:TPU runtime inside lax.scan)
-    rows = jax.lax.cond((nbad > 0) & (nbad <= cap_small), fix_small,
-                        lambda r: r, tuple(rows))
-    rows = jax.lax.cond(nbad > cap_small, fix_large, lambda r: r,
+    rows = jax.lax.cond(nbad > 0, fix_small, lambda r: r,
                         tuple(rows))
     return rows, jnp.mean(ok.astype(jnp.float32))
 
