@@ -49,7 +49,7 @@ class MetPack(NamedTuple):
     sfc: Optional[jnp.ndarray] = None
     packT: Optional[jnp.ndarray] = None
     sfcT: Optional[jnp.ndarray] = None
-    pack8: Optional[jnp.ndarray] = None
+    pack64: Optional[jnp.ndarray] = None
 
 
 
@@ -98,10 +98,12 @@ def build_met_pack(met01: Met, wind: bool = True, sfc: bool = True,
     sorted parcels, see ops.slab_interp)."""
     if lane:
         from mptrac_tpu.ops import slab_interp
+        packT = slab_interp.build_packT(met01) if wind else None
         return MetPack(
-            packT=slab_interp.build_packT(met01) if wind else None,
+            packT=packT,
             sfcT=slab_interp.build_sfcT(met01) if sfc else None,
-            pack8=slab_interp.build_pack8(met01) if wind else None)
+            pack64=(slab_interp.build_pack64(packT)
+                    if wind else None))
     return MetPack(
         w64=build_advect_pack64(met01) if wind else None,
         sfc=build_sfc_pack(met01) if sfc else None)

@@ -25,11 +25,12 @@ parcels with 128-lane vector gathers:
   longitude-crossers form at most two extra clusters at +-ny*npl —
   three anchors cover all of them.  Gathers are ``take_along_axis``
   along lanes — the one dynamic-indexing primitive the VPU has.
-- The rare residue (multi-cell drift in jets between sorts, or very
-  low parcel density) is flagged and recomputed by a bounded XLA
-  fallback: group-level top_k compaction (cheap — no full-length
-  nonzero/argsort) + 8-corner row gathers from a small row-major
-  ``pack8 [ncell, 8]`` table.
+- Two in-kernel refinement passes re-anchor on the min/max
+  still-unserved cell, catching small interior clusters (RK midpoints
+  that crossed both a lon and a lat cell).  The rare residue is
+  flagged and recomputed by a bounded XLA fallback: group-level top_k
+  compaction + one row gather per straggler from the row-major
+  ``pack64`` mirror.
 
 Measured on TPU v5e (perf/probe.py): ~1.2-2 ns/parcel/site vs 9.9 ns
 for the XLA row-gather path, numerically identical (same f32
@@ -61,7 +62,9 @@ class SlabTables(NamedTuple):
     """Gather tables for one met snapshot pair."""
     packT: Optional[jnp.ndarray] = None   # [64, ncellp] winds+T (T)
     sfcT: Optional[jnp.ndarray] = None    # [128, nxyp] surface (T)
-    pack8: Optional[jnp.ndarray] = None   # [ncell, 8] fallback rows
+    pack64: Optional[jnp.ndarray] = None  # [ncellp, 64] row-major
+    #   mirror of packT for the straggler fallback (one gather offset
+    #   serves a parcel's whole corner block)
 
 
 # ------------------------------------------------------------ builders
@@ -111,22 +114,11 @@ def build_packT(met01: Met) -> jnp.ndarray:
     return packT
 
 
-def build_pack8(met01: Met) -> jnp.ndarray:
-    """[ncell, 8] row-major fallback table: lanes (u0,v0,w0,u1,v1,w1,
-    t0,t1) at the cell itself.  The straggler fallback gathers the 8
-    trilinear corners as 8 row offsets (cheap at the bounded cap)."""
-    u = met01.fields3d["u"]
-    v = met01.fields3d["v"]
-    w = met01.fields3d["w"]
-    t = met01.fields3d.get("t")
-    nx, ny, npl = u.shape[-3:]
-    n = nx * ny * npl
-    z = jnp.zeros(n, u.dtype)
-    tt = (t.reshape(2, n) if t is not None else (z, z))
-    return jnp.stack([
-        u[0].reshape(n), v[0].reshape(n), w[0].reshape(n),
-        u[1].reshape(n), v[1].reshape(n), w[1].reshape(n),
-        tt[0], tt[1]], axis=-1).astype(jnp.float32)
+def build_pack64(packT: jnp.ndarray) -> jnp.ndarray:
+    """Row-major transpose of packT for the straggler fallback: one
+    gather offset per straggler serves the whole corner block (XLA
+    gather cost is per offset, row width <= 128 lanes is free)."""
+    return packT.T
 
 
 def build_sfcT(met01: Met) -> jnp.ndarray:
@@ -155,10 +147,11 @@ def build_sfcT(met01: Met) -> jnp.ndarray:
 
 def build_slab_tables(met01: Met, wind: bool = True,
                       sfc: bool = True) -> SlabTables:
+    packT = build_packT(met01) if wind else None
     return SlabTables(
-        packT=build_packT(met01) if wind else None,
+        packT=packT,
         sfcT=build_sfcT(met01) if sfc else None,
-        pack8=build_pack8(met01) if wind else None)
+        pack64=build_pack64(packT) if wind else None)
 
 
 # ----------------------------------------------------- interpolants
@@ -317,6 +310,24 @@ def _kernel(s_ref, anc_ref, base_ref, w_ref, tab_hbm, out_ref, slab,
                 r2, ok2 = pair(anc_ref[nanc * gi + a])
                 rows = jnp.where(ok, rows, r2)
                 ok = ok | ok2
+            # two adaptive refinement passes: re-anchor on the min /
+            # max still-unserved cell of the group.  The static
+            # anchors catch the bulk and the extreme drift clusters;
+            # these catch small interior clusters (e.g. parcels whose
+            # RK midpoint crossed both a lon and a lat cell), keeping
+            # the XLA fallback rare.
+            for lo in (True, False):
+                if lo:
+                    m = jnp.min(jnp.where(ok, jnp.int32(2 ** 30),
+                                          idx))
+                    kref = m // WIN
+                else:
+                    m = jnp.max(jnp.where(ok, jnp.int32(-2 ** 30),
+                                          idx))
+                    kref = jnp.maximum(m - (WIN - 1), 0) // WIN
+                r2, ok2 = pair(kref + s_ref[c])
+                rows = jnp.where(ok, rows, r2)
+                ok = ok | ok2
             okf = ok.astype(jnp.float32)
 
             ws = w_ref[:, u * WIN:(u + 1) * WIN]
@@ -465,18 +476,12 @@ def _compact_bad(ok, cap):
     return jnp.where(sel & (idx < n), idx, n)          # n = dropped
 
 
-def _fb_corner_rows(pack8, base, idx_bad, oy, ox):
-    """8-corner fallback gather: [64, cap] in the kernel's transposed
-    sublane order, from the small row-major pack8 table."""
+def _fb_corner_rows(pack64, base, idx_bad):
+    """Straggler fallback gather: [64, cap] in the kernel's transposed
+    sublane order — ONE row offset per straggler from the row-major
+    pack64 mirror."""
     b = jnp.take(base, jnp.minimum(idx_bad, base.shape[0] - 1))
-    parts = []
-    for o in (0, 1, oy, oy + 1, ox, ox + 1, ox + oy, ox + oy + 1):
-        parts.append(jnp.take(pack8, jnp.clip(b + o, 0,
-                                              pack8.shape[0] - 1),
-                              axis=0))                 # [cap, 8]
-    wind = jnp.concatenate([p[:, :6] for p in parts], axis=1)
-    tcor = jnp.concatenate([p[:, 6:8] for p in parts], axis=1)
-    return jnp.concatenate([wind, tcor], axis=1).T     # [64, cap]
+    return jnp.take(pack64, b, axis=0).T               # [64, cap]
 
 
 def _fix_with_cap(tables, base, w, ok, mode, cap, oy, ox):
@@ -502,7 +507,7 @@ def _fb_values(tables, base, w_bad, idx_bad, mode, oy, ox):
         r128 = jnp.take(tables.sfcT, cols, axis=1)
         v16 = _sfc_interp_T(r128, w_bad[0:1], w_bad[1:2], w_bad[2:3])
         return [v16[f] for f in mode[1]]
-    r64 = _fb_corner_rows(tables.pack8, base, idx_bad, oy, ox)
+    r64 = _fb_corner_rows(tables.pack64, base, idx_bad)
     if mode == "uvwt":
         uvw, tt = _trilerp_T(r64, w_bad[0:1], w_bad[1:2], w_bad[2:3],
                              w_bad[3:4])
@@ -527,19 +532,16 @@ def _apply_fallback(tables: SlabTables, base, w, rows, ok, mode, cap,
     lax.cond branch temps push a 50M-parcel lax.scan over the HBM
     edge and crash the runtime, so there is exactly one tier.)"""
     n = base.shape[0]
-    cap_small = min(cap, max(WIN, n // 32))
     nbad = jnp.sum((~ok).astype(jnp.int32))
-    fix_small = _fix_with_cap(tables, base, w, ok, mode, cap_small,
-                              oy, ox)
-    rows = jax.lax.cond(nbad > 0, fix_small, lambda r: r,
-                        tuple(rows))
+    fix = _fix_with_cap(tables, base, w, ok, mode, cap, oy, ox)
+    rows = jax.lax.cond(nbad > 0, fix, lambda r: r, tuple(rows))
     return rows, jnp.mean(ok.astype(jnp.float32))
 
 
 # ------------------------------------------------------------- public
 
 def interp_uvwt(tables: SlabTables, base, weights, oy: int, ox: int,
-                cap_frac: int = 16, interpret: bool = False):
+                cap_frac: int = 32, interpret: bool = False):
     """(u, v, w, T) for ~sorted parcels.
 
     base [n] int32 flat cell (ix*ny+iy)*npl+iz; weights [4, n] f32
@@ -557,7 +559,7 @@ def interp_uvwt(tables: SlabTables, base, weights, oy: int, ox: int,
 
 
 def meso_sigma(tables: SlabTables, base, oy: int, ox: int,
-               cap_frac: int = 16, interpret: bool = False):
+               cap_frac: int = 32, interpret: bool = False):
     """Subgrid wind sigma for ~sorted parcels: ((su, sv, sw), served)."""
     n = base.shape[0]
     CP, S, nanc = _plan(tables.packT.shape[1], n, ox)
@@ -572,7 +574,7 @@ def meso_sigma(tables: SlabTables, base, oy: int, ox: int,
 
 
 def interp_sfc(tables: SlabTables, basexy, weights, fields,
-               cap_frac: int = 16, interpret: bool = False):
+               cap_frac: int = 32, interpret: bool = False):
     """Selected surface fields for ~sorted parcels.
 
     basexy [n] int32 = ix*ny+iy; weights [4, n] f32 (wx, wy, wt, 0);

@@ -50,7 +50,7 @@ def module_meteo(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
         from mptrac_tpu.ops import slab_interp
         slab = slab_interp.SlabTables(packT=pack.packT,
                                       sfcT=pack.sfcT,
-                                      pack8=pack.pack8)
+                                      pack64=pack.pack64)
 
     loc = interp.locate_3d(met01, atm.lon, atm.lat, atm.p)
 

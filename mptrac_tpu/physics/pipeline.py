@@ -58,7 +58,7 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
     if pack is not None and fp32 and pack.packT is not None:
         from mptrac_tpu.ops.slab_interp import SlabTables
         slab = SlabTables(packT=pack.packT, sfcT=pack.sfcT,
-                          pack8=pack.pack8)
+                          pack64=pack.pack64)
         sfcT = pack.sfcT
 
     # Set timesteps of air parcels

@@ -105,7 +105,7 @@ def main():
         from mptrac_tpu.ops.rng import squares_normal3_f32
         from mptrac_tpu.ops.sort import module_sort
         slab = SlabTables(packT=lpack.packT, sfcT=lpack.sfcT,
-                          pack8=lpack.pack8)
+                          pack64=lpack.pack64)
         dt_ms["timesteps"] = timeit(
             jax.jit(lambda c, a, m: timesteps.module_timesteps(
                 ctl, c, m, a, t)), cache, atm, met01)
@@ -179,7 +179,7 @@ def main():
     if lane:
         from mptrac_tpu.ops.slab_interp import SlabTables
         slab = SlabTables(packT=lpack.packT, sfcT=lpack.sfcT,
-                          pack8=lpack.pack8)
+                          pack64=lpack.pack64)
         dt_ms["advect_slab"] = timeit(
             jax.jit(lambda c, a, m, s: advect.module_advect(
                 ctl, c, m, a, None, s)), cache, atm, met01, slab)
