@@ -109,8 +109,16 @@ def build_packT(met01: Met) -> jnp.ndarray:
                            dz:dz + npl].reshape(n)
                         if te is not None else jnp.zeros(n, u.dtype))
     packT = jnp.stack(rows).astype(jnp.float32)
-    if ncellp != n:
-        packT = jnp.pad(packT, ((0, 0), (0, ncellp - n)))
+    # cyclic wrap margins: [2ox copy of the last 2 lon columns | main
+    # | 2ox copy of the first 2], so dateline-crossing parcels can be
+    # served in-slab after cyclic index unwrapping (_slab_call)
+    ox = ny * npl
+    packT = jnp.concatenate(
+        [packT[:, n - 2 * ox:n], packT, packT[:, :2 * ox]], axis=1)
+    ntot = n + 4 * ox
+    ncellp = -(-ntot // 1024) * 1024
+    if ncellp != ntot:
+        packT = jnp.pad(packT, ((0, 0), (0, ncellp - ntot)))
     return packT
 
 
@@ -140,8 +148,12 @@ def build_sfcT(met01: Met) -> jnp.ndarray:
                     rows.append(fe[s, dx:dx + nx,
                                    dy:dy + ny].reshape(nxy))
     sfcT = jnp.stack(rows).astype(jnp.float32)
-    if nxyp != nxy:
-        sfcT = jnp.pad(sfcT, ((0, 0), (0, nxyp - nxy)))
+    sfcT = jnp.concatenate(
+        [sfcT[:, nxy - 2 * ny:nxy], sfcT, sfcT[:, :2 * ny]], axis=1)
+    ntot = nxy + 4 * ny
+    nxyp = -(-ntot // 1024) * 1024
+    if nxyp != ntot:
+        sfcT = jnp.pad(sfcT, ((0, 0), (0, nxyp - ntot)))
     return sfcT
 
 
@@ -370,10 +382,15 @@ def _plan(ncellp: int, n: int, margin: int):
 
 @functools.partial(
     jax.jit, static_argnames=("CP", "S", "margin", "mode", "nanc",
-                              "interpret"))
-def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3,
-               interpret=False):
-    """Pallas dispatch over <=CHUNK parcels; returns [OR, npad]."""
+                              "ncell", "wrap", "interpret"))
+def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3, ncell=None,
+               wrap=0, interpret=False):
+    """Pallas dispatch over <=CHUNK parcels; returns [OR, npad].
+
+    ``base`` is in main-grid coordinates [0, ncell); the table carries
+    ``wrap`` copied cells on each side, and each parcel's index is
+    cyclically unwrapped toward its chunk's median so dateline
+    crossers stay in-slab."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -384,9 +401,26 @@ def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3,
     nblk = tab.shape[1] // WIN
     OR = _out_rows(mode)
 
-    base_p = jnp.pad(base, (0, npad - n), mode="edge")
+    base_p = jnp.pad(base, (0, npad - n), mode="edge") + wrap
+    bmat0 = base_p.reshape(nchunk, -1, WIN)
+    ngc = bmat0.shape[1]
+    # chunk reference cell: median element of the middle group of the
+    # chunk's REAL parcels (an actual median would be skewed by the
+    # edge-padding of a mostly-padded final chunk)
+    nreal = jnp.clip(n - jnp.arange(nchunk) * CP, 1, CP)
+    gmid = jnp.clip(nreal // (2 * WIN), 0, ngc - 1)
+    medc = jnp.take_along_axis(bmat0[:, :, WIN // 2], gmid[:, None],
+                               axis=1)[:, 0].astype(jnp.int32)
+    if ncell is not None and wrap > 0:
+        # cyclic unwrap toward the chunk reference cell so dateline
+        # crossers land in the wrap-margin copies
+        m3 = medc[:, None, None]
+        bmat0 = jnp.where(bmat0 - m3 > ncell // 2, bmat0 - ncell,
+                          jnp.where(m3 - bmat0 > ncell // 2,
+                                    bmat0 + ncell, bmat0))
+    bmat = bmat0
+    base_p = bmat.reshape(-1)
     w_p = jnp.pad(w, ((0, 0), (0, npad - n)))
-    bmat = base_p.reshape(nchunk, -1, WIN)
     gmin = jnp.min(bmat, axis=2)
     gmax = jnp.max(bmat, axis=2)
     anc = [gmin // WIN]
@@ -394,12 +428,11 @@ def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3,
         anc.append(bmat[:, :, WIN // 2] // WIN)
     anc.append(jnp.maximum(gmax - (WIN - 1), 0) // WIN)
     anchors = jnp.stack(anc, axis=-1).astype(jnp.int32)
-    # center the slab on the chunk's MEDIAN group anchor: between
-    # sorts the population drifts coherently (e.g. +1..+2 longitude
-    # cells); centering follows the crossed majority so the +-S/2
-    # reach covers both the crossed clusters and the laggards
-    med = jnp.median(anc[0], axis=1).astype(jnp.int32)
-    s = jnp.clip(med - (S // WIN) // 2, 0,
+    # center the slab on the chunk reference cell: between sorts the
+    # population drifts coherently (e.g. +1..+2 longitude cells);
+    # centering follows the crossed majority so the +-S/2 reach
+    # covers both the crossed clusters and the laggards
+    s = jnp.clip(medc // WIN - (S // WIN) // 2, 0,
                  nblk - S // WIN).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -424,18 +457,18 @@ def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((OR, npad), jnp.float32),
         interpret=interpret,
-    )(s, anchors.reshape(-1), bmat.reshape(-1, WIN),
+    )(s, anchors.reshape(-1), base_p.reshape(-1, WIN),
       w_p.reshape(4, npad), tab)
 
 
 def _slab_out3(tab, base, w, CP, S, margin, mode, nanc=3,
-               interpret=False):
+               ncell=None, wrap=0, interpret=False):
     """Kernel output as [nslice, OR, L] — row-major so per-row
     extraction later is a reshape, not a transposed copy."""
     n = base.shape[0]
     if n <= CHUNK:
         return _slab_call(tab, base, w, CP, S, margin, mode, nanc,
-                          interpret)[None]
+                          ncell, wrap, interpret)[None]
     nch = -(-n // CHUNK)
     pad = nch * CHUNK - n
     base_p = jnp.pad(base, (0, pad), mode="edge").reshape(nch, CHUNK)
@@ -443,7 +476,7 @@ def _slab_out3(tab, base, w, CP, S, margin, mode, nanc=3,
         jnp.pad(w, ((0, 0), (0, pad))).reshape(4, nch, CHUNK), 1, 0)
     return jax.lax.map(
         lambda bw: _slab_call(tab, bw[0], bw[1], CP, S, margin, mode,
-                              nanc, interpret),
+                              nanc, ncell, wrap, interpret),
         (base_p, w_p))
 
 
@@ -541,58 +574,62 @@ def _apply_fallback(tables: SlabTables, base, w, rows, ok, mode, cap,
 # ------------------------------------------------------------- public
 
 def interp_uvwt(tables: SlabTables, base, weights, oy: int, ox: int,
-                cap_frac: int = 32, interpret: bool = False):
+                ncell: int, cap_frac: int = 32,
+                interpret: bool = False):
     """(u, v, w, T) for ~sorted parcels.
 
-    base [n] int32 flat cell (ix*ny+iy)*npl+iz; weights [4, n] f32
-    (wx, wy, wz, wt); oy/ox = npl / ny*npl flat-index strides.
+    base [n] int32 flat cell (ix*ny+iy)*npl+iz in [0, ncell);
+    weights [4, n] f32 (wx, wy, wz, wt); oy/ox = npl / ny*npl strides.
     Returns ((u, v, w, T) [n] f32 each, served fraction)."""
     n = base.shape[0]
+    wrap = 2 * ox
     CP, S, nanc = _plan(tables.packT.shape[1], n, ox)
     out3 = _slab_out3(tables.packT, base, weights, CP, S, ox, "uvwt",
-                      nanc, interpret)
+                      nanc, ncell, wrap, interpret)
     ok = _row(out3, 4, n) > 0.5
     rows = [_row(out3, r, n) for r in range(4)]
     cap = max(WIN, n // cap_frac)
-    return _apply_fallback(tables, base, weights, rows, ok, "uvwt",
-                           cap, oy, ox)
+    return _apply_fallback(tables, base + wrap, weights, rows, ok,
+                           "uvwt", cap, oy, ox)
 
 
 def meso_sigma(tables: SlabTables, base, oy: int, ox: int,
-               cap_frac: int = 32, interpret: bool = False):
+               ncell: int, cap_frac: int = 32,
+               interpret: bool = False):
     """Subgrid wind sigma for ~sorted parcels: ((su, sv, sw), served)."""
     n = base.shape[0]
+    wrap = 2 * ox
     CP, S, nanc = _plan(tables.packT.shape[1], n, ox)
     w = jnp.zeros((4, n), jnp.float32)
     out3 = _slab_out3(tables.packT, base, w, CP, S, ox, "meso", nanc,
-                      interpret)
+                      ncell, wrap, interpret)
     ok = _row(out3, 3, n) > 0.5
     rows = [_row(out3, r, n) for r in range(3)]
     cap = max(WIN, n // cap_frac)
-    return _apply_fallback(tables, base, w, rows, ok, "meso", cap,
-                           oy, ox)
+    return _apply_fallback(tables, base + wrap, w, rows, ok, "meso",
+                           cap, oy, ox)
 
 
 def interp_sfc(tables: SlabTables, basexy, weights, fields,
-               cap_frac: int = 32, interpret: bool = False):
+               ny: int, nxy: int, cap_frac: int = 32,
+               interpret: bool = False):
     """Selected surface fields for ~sorted parcels.
 
-    basexy [n] int32 = ix*ny+iy; weights [4, n] f32 (wx, wy, wt, 0);
-    fields = static tuple of SFC_FIELDS indices.  A +-1-lon-cell jump
-    is only +-ny in flat-xy index — within the anchor pairs' reach —
-    so no slab margin is needed.
+    basexy [n] int32 = ix*ny+iy in [0, nxy); weights [4, n] f32
+    (wx, wy, wt, 0); fields = static tuple of SFC_FIELDS indices.
     Returns (tuple of [n] f32 per field, served fraction)."""
     n = basexy.shape[0]
+    wrap = 2 * ny
     CP, S, nanc = _plan(tables.sfcT.shape[1], n, 0)
     mode = ("sfc", tuple(fields))
     out3 = _slab_out3(tables.sfcT, basexy, weights, CP, S, 0, mode,
-                      nanc, interpret)
+                      nanc, nxy, wrap, interpret)
     nv = len(fields)
     ok = _row(out3, nv, n) > 0.5
     rows = [_row(out3, r, n) for r in range(nv)]
     cap = max(WIN, n // cap_frac)
-    return _apply_fallback(tables, basexy, weights, rows, ok, mode,
-                           cap)
+    return _apply_fallback(tables, basexy + wrap, weights, rows, ok,
+                           mode, cap)
 
 
 # ----------------------------------------- module-facing convenience
@@ -610,11 +647,12 @@ def uvwt_from_loc(tables: SlabTables, met01: Met, ts, loc,
     from mptrac_tpu.ops import interp
     u3 = met01.fields3d["u"]
     ny, npl = u3.shape[-2:]
+    nx = u3.shape[-3]
     base = ((loc.ix * ny + loc.iy) * npl + loc.iz).astype(jnp.int32)
     wt = interp.time_weight(met01, ts)
     w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]).astype(jnp.float32)
     (u, v, w, t), served = interp_uvwt(
-        tables, base, w4, npl, ny * npl,
+        tables, base, w4, npl, ny * npl, nx * ny * npl,
         interpret=_auto_interpret() if interpret is None else interpret)
     dtype = met01.lon.dtype
     return (u.astype(dtype), v.astype(dtype), w.astype(dtype),
@@ -626,14 +664,14 @@ def sfc_from_loc(tables: SlabTables, met01: Met, names, ts, loc,
     """{name: [n]} surface-field interpolation via the slab kernel.
     Drop-in for fast_interp.interp_sfc_packed."""
     from mptrac_tpu.ops import interp
-    ny = met01.fields2d[SFC_FIELDS[0]].shape[-1]
+    nx, ny = met01.fields2d[SFC_FIELDS[0]].shape[-2:]
     basexy = (loc.ix * ny + loc.iy).astype(jnp.int32)
     wt = interp.time_weight(met01, ts)
     w4 = jnp.stack([loc.wx, loc.wy, wt,
                     jnp.zeros_like(wt)]).astype(jnp.float32)
     fields = tuple(SFC_FIELDS.index(name) for name in names)
     vals, served = interp_sfc(
-        tables, basexy, w4, fields,
+        tables, basexy, w4, fields, ny, nx * ny,
         interpret=_auto_interpret() if interpret is None else interpret)
     dtype = loc.wy.dtype
     return {name: v.astype(dtype) for name, v in zip(names, vals)}

@@ -156,7 +156,7 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
         from mptrac_tpu.ops import slab_interp
         base = ((ix * ny + iy) * npl + iz).astype(jnp.int32)
         (usig, vsig, wsig), _ = slab_interp.meso_sigma(
-            slab, base, npl, ny * npl,
+            slab, base, npl, ny * npl, nx * ny * npl,
             interpret=slab_interp._auto_interpret())
     elif pack is not None and pack.shape[-1] == 64:
         # The 64-wide corner row already holds all 8 corners x 2

@@ -45,8 +45,10 @@ def test_uvwt_matches_packed64():
     w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]
                    ).astype(jnp.float32)[:, order]
 
+    nx = met01.lon.shape[-1]
     out, served = SL.interp_uvwt(tables, base[order], w4, npl,
-                                 ny * npl, interpret=True)
+                                 ny * npl, nx * ny * npl,
+                                 interpret=True)
     assert float(served) > 0.9
     ref = np.stack([np.asarray(u_ref), np.asarray(v_ref),
                     np.asarray(w_ref), np.asarray(t_ref)]
@@ -70,8 +72,10 @@ def test_uvwt_unsorted_recovered_by_fallback():
     base = ((loc.ix * ny + loc.iy) * npl + loc.iz).astype(jnp.int32)
     wt = (met01.time[1] - ts) / (met01.time[1] - met01.time[0])
     w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]).astype(jnp.float32)
+    nx = met01.lon.shape[-1]
     out, served = SL.interp_uvwt(tables, base, w4, npl, ny * npl,
-                                 cap_frac=1, interpret=True)
+                                 nx * ny * npl, cap_frac=1,
+                                 interpret=True)
     ref = np.stack([np.asarray(u_ref), np.asarray(v_ref),
                     np.asarray(w_ref)])
     got = np.stack([np.asarray(x, np.float64) for x in out[:3]])
@@ -105,8 +109,10 @@ def test_meso_matches_pack64_path():
         sig_ref.append(jnp.where(var > 0, jnp.sqrt(var), 0.0))
     sig_ref = np.stack([np.asarray(s) for s in sig_ref])
 
+    nx = met01.lon.shape[-1]
     sig, served = SL.meso_sigma(tables, base_s, npl, ny * npl,
-                                cap_frac=4, interpret=True)
+                                nx * ny * npl, cap_frac=4,
+                                interpret=True)
     sig = jnp.stack(sig)
     assert float(served) > 0.8
     # var = msq - mean^2 cancels ~6 digits on smooth wind fields, so
@@ -132,9 +138,10 @@ def test_sfc_matches_sfc_packed():
     wt = (met01.time[1] - ts) / (met01.time[1] - met01.time[0])
     w4 = jnp.stack([loc.wx, loc.wy, wt, jnp.zeros_like(wt)]
                    ).astype(jnp.float32)[:, order]
+    nx = met01.lon.shape[-1]
     fields = tuple(SL.SFC_FIELDS.index(name) for name in names)
     out, served = SL.interp_sfc(tables, basexy[order], w4, fields,
-                                interpret=True)
+                                ny, nx * ny, interpret=True)
     assert float(served) > 0.9
     for i, name in enumerate(names):
         np.testing.assert_allclose(
