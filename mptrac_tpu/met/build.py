@@ -93,7 +93,9 @@ def read_met(filename: str, ctl: Ctl, clim=None, sel=None) -> Met:
     process.extrapolate(f3)
     process.polar_winds(lon, lat, f3, ctl.met_coord_type)
     if ctl.met_coord_type == 0:
+        nlon0 = len(lon)
         lon, f2, f3 = process.periodic(lon, f2, f3)
+        raw["lon_periodic"] = len(lon) != nlon0
     lon, lat, p, f2, f3 = process.sample_grid(ctl, lon, lat, p, f2, f3)
     process.geopot(ctl, lon, lat, p, f2, f3)
     process.pv(lon, lat, p, f3, ctl.met_coord_type)
@@ -124,4 +126,5 @@ def _to_met(ctl: Ctl, raw, lon, lat, p, f2, f3) -> Met:
         npl_ml=raw["npl_ml"],
         reg_lon=_axis_is_arithmetic(lon),
         reg_lat=_axis_is_arithmetic(lat),
+        lon_periodic=bool(raw.get("lon_periodic", False)),
     )

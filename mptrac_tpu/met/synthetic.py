@@ -99,7 +99,7 @@ def make_wind_met(t0: float = 0.0, nx: int = 360, ny: int = 181,
         hybrid=jnp.zeros(nz, jnp.float64),
         fields2d=f2, fields3d=f3, coord_type=0, npl_ml=0,
         reg_lon=_axis_is_arithmetic(lon),
-        reg_lat=_axis_is_arithmetic(lat))
+        reg_lat=_axis_is_arithmetic(lat), lon_periodic=True)
 
 
 def solid_body_solution(lon0, lat0, u0, t, alpha: float = 0.0):

@@ -109,17 +109,35 @@ def build_packT(met01: Met) -> jnp.ndarray:
                            dz:dz + npl].reshape(n)
                         if te is not None else jnp.zeros(n, u.dtype))
     packT = jnp.stack(rows).astype(jnp.float32)
-    # cyclic wrap margins: [2ox copy of the last 2 lon columns | main
-    # | 2ox copy of the first 2], so dateline-crossing parcels can be
-    # served in-slab after cyclic index unwrapping (_slab_call)
+    # cyclic wrap margins: [copies of the last 2 cyclic lon columns |
+    # main | copies of the first 2 past the seam], so
+    # dateline-crossing parcels can be served in-slab after cyclic
+    # index unwrapping (_slab_call).  On grids with a duplicated
+    # wraparound column (lon_periodic) the cyclic period is nx-1
+    # columns: the column past ix = nx-1 (== ix 0) is ix 1.
     ox = ny * npl
     packT = jnp.concatenate(
-        [packT[:, n - 2 * ox:n], packT, packT[:, :2 * ox]], axis=1)
+        [_wrap_w(packT, n, ox, met01.lon_periodic), packT,
+         _wrap_e(packT, ox, met01.lon_periodic)], axis=1)
     ntot = n + 4 * ox
     ncellp = -(-ntot // 1024) * 1024
     if ncellp != ntot:
         packT = jnp.pad(packT, ((0, 0), (0, ncellp - ntot)))
     return packT
+
+
+def _wrap_w(tab, n, ox, periodic: bool):
+    """West margin: the 2 columns cyclically preceding column 0."""
+    if periodic:                      # ... nx-3, nx-2 | 0 (== nx-1)
+        return tab[:, n - 3 * ox:n - ox]
+    return tab[:, n - 2 * ox:n]
+
+
+def _wrap_e(tab, ox, periodic: bool):
+    """East margin: the 2 columns cyclically following the last."""
+    if periodic:                      # nx-1 (== 0) | 1, 2 ...
+        return tab[:, ox:3 * ox]
+    return tab[:, :2 * ox]
 
 
 def build_pack64(packT: jnp.ndarray) -> jnp.ndarray:
@@ -149,7 +167,8 @@ def build_sfcT(met01: Met) -> jnp.ndarray:
                                    dy:dy + ny].reshape(nxy))
     sfcT = jnp.stack(rows).astype(jnp.float32)
     sfcT = jnp.concatenate(
-        [sfcT[:, nxy - 2 * ny:nxy], sfcT, sfcT[:, :2 * ny]], axis=1)
+        [_wrap_w(sfcT, nxy, ny, met01.lon_periodic), sfcT,
+         _wrap_e(sfcT, ny, met01.lon_periodic)], axis=1)
     ntot = nxy + 4 * ny
     nxyp = -(-ntot // 1024) * 1024
     if nxyp != ntot:
@@ -648,11 +667,12 @@ def uvwt_from_loc(tables: SlabTables, met01: Met, ts, loc,
     u3 = met01.fields3d["u"]
     ny, npl = u3.shape[-2:]
     nx = u3.shape[-3]
+    nxc = nx - 1 if met01.lon_periodic else nx    # cyclic period
     base = ((loc.ix * ny + loc.iy) * npl + loc.iz).astype(jnp.int32)
     wt = interp.time_weight(met01, ts)
     w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]).astype(jnp.float32)
     (u, v, w, t), served = interp_uvwt(
-        tables, base, w4, npl, ny * npl, nx * ny * npl,
+        tables, base, w4, npl, ny * npl, nxc * ny * npl,
         interpret=_auto_interpret() if interpret is None else interpret)
     dtype = met01.lon.dtype
     return (u.astype(dtype), v.astype(dtype), w.astype(dtype),
@@ -665,13 +685,14 @@ def sfc_from_loc(tables: SlabTables, met01: Met, names, ts, loc,
     Drop-in for fast_interp.interp_sfc_packed."""
     from mptrac_tpu.ops import interp
     nx, ny = met01.fields2d[SFC_FIELDS[0]].shape[-2:]
+    nxc = nx - 1 if met01.lon_periodic else nx    # cyclic period
     basexy = (loc.ix * ny + loc.iy).astype(jnp.int32)
     wt = interp.time_weight(met01, ts)
     w4 = jnp.stack([loc.wx, loc.wy, wt,
                     jnp.zeros_like(wt)]).astype(jnp.float32)
     fields = tuple(SFC_FIELDS.index(name) for name in names)
     vals, served = interp_sfc(
-        tables, basexy, w4, fields, ny, nx * ny,
+        tables, basexy, w4, fields, ny, nxc * ny,
         interpret=_auto_interpret() if interpret is None else interpret)
     dtype = loc.wy.dtype
     return {name: v.astype(dtype) for name, v in zip(names, vals)}

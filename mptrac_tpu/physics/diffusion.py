@@ -155,8 +155,9 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
         # whole 16-point stencil for a 128-parcel group
         from mptrac_tpu.ops import slab_interp
         base = ((ix * ny + iy) * npl + iz).astype(jnp.int32)
+        nxc = nx - 1 if met01.lon_periodic else nx
         (usig, vsig, wsig), _ = slab_interp.meso_sigma(
-            slab, base, npl, ny * npl, nx * ny * npl,
+            slab, base, npl, ny * npl, nxc * ny * npl,
             interpret=slab_interp._auto_interpret())
     elif pack is not None and pack.shape[-1] == 64:
         # The 64-wide corner row already holds all 8 corners x 2

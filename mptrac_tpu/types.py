@@ -157,6 +157,11 @@ class Met:
     #: arithmetic in the interpolation core with identical results
     reg_lon: bool = False
     reg_lat: bool = False
+    #: static: lon axis carries a duplicated wraparound column
+    #: (read_met_periodic, reference c:11390) — the cyclic period is
+    #: nx-1 columns, which index-space consumers (slab kernel unwrap)
+    #: must use
+    lon_periodic: bool = False
 
     @property
     def nx(self) -> int:
@@ -181,7 +186,8 @@ class Met:
 
 
 _register(Met, ["time", "lon", "lat", "p", "hybrid", "fields2d", "fields3d"],
-          ["coord_type", "npl_ml", "reg_lon", "reg_lat"])
+          ["coord_type", "npl_ml", "reg_lon", "reg_lat",
+           "lon_periodic"])
 
 
 def _axis_is_arithmetic(xx) -> bool:

@@ -47,7 +47,7 @@ def test_uvwt_matches_packed64():
 
     nx = met01.lon.shape[-1]
     out, served = SL.interp_uvwt(tables, base[order], w4, npl,
-                                 ny * npl, nx * ny * npl,
+                                 ny * npl, (nx - 1) * ny * npl,
                                  interpret=True)
     assert float(served) > 0.9
     ref = np.stack([np.asarray(u_ref), np.asarray(v_ref),
@@ -74,7 +74,7 @@ def test_uvwt_unsorted_recovered_by_fallback():
     w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]).astype(jnp.float32)
     nx = met01.lon.shape[-1]
     out, served = SL.interp_uvwt(tables, base, w4, npl, ny * npl,
-                                 nx * ny * npl, cap_frac=1,
+                                 (nx - 1) * ny * npl, cap_frac=1,
                                  interpret=True)
     ref = np.stack([np.asarray(u_ref), np.asarray(v_ref),
                     np.asarray(w_ref)])
@@ -111,7 +111,7 @@ def test_meso_matches_pack64_path():
 
     nx = met01.lon.shape[-1]
     sig, served = SL.meso_sigma(tables, base_s, npl, ny * npl,
-                                nx * ny * npl, cap_frac=4,
+                                (nx - 1) * ny * npl, cap_frac=4,
                                 interpret=True)
     sig = jnp.stack(sig)
     assert float(served) > 0.8
@@ -141,7 +141,7 @@ def test_sfc_matches_sfc_packed():
     nx = met01.lon.shape[-1]
     fields = tuple(SL.SFC_FIELDS.index(name) for name in names)
     out, served = SL.interp_sfc(tables, basexy[order], w4, fields,
-                                ny, nx * ny, interpret=True)
+                                ny, (nx - 1) * ny, interpret=True)
     assert float(served) > 0.9
     for i, name in enumerate(names):
         np.testing.assert_allclose(
