@@ -388,7 +388,10 @@ def _plan(ncellp: int, n: int, margin: int):
     CP = 1 << max(10, min(17, int(density * SPAN_BULK * 0.8)
                           .bit_length() - 1))
     CP = min(CP, CHUNK)
-    S = SPAN_BULK + 2 * margin + 2 * WIN
+    # per-side reach from the chunk reference parcel: the reference
+    # can sit at the very bottom (or top) of the chunk's sorted span,
+    # and lon-crossers extend a further +-margin beyond it
+    S = 2 * (SPAN_BULK + margin + 2 * WIN)
     S = -(-S // 1024) * 1024
     S = min(S, ncellp)
     # three anchors (min/median/max) cover bulk + two straggler
