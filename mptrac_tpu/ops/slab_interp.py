@@ -280,11 +280,13 @@ def _out_rows(mode) -> int:
 def _val_rows(mode) -> int:
     if isinstance(mode, tuple):                        # ("sfc", fields)
         return len(mode[1])
-    return {"uvwt": 4, "meso": 3}[mode]
+    return {"uvwt": 4, "meso": 3, "gather8": 8}[mode]
 
 
 def _tab_rows(mode) -> int:
-    return 128 if isinstance(mode, tuple) else 64
+    if isinstance(mode, tuple):
+        return 128
+    return 8 if mode == "gather8" else 64
 
 
 # ------------------------------------------------------------- kernel
@@ -366,6 +368,8 @@ def _kernel(s_ref, anc_ref, base_ref, w_ref, tab_hbm, out_ref, slab,
                 uvw, tt = _trilerp_T(rows, ws[0:1], ws[1:2], ws[2:3],
                                      ws[3:4])
                 vals = jnp.concatenate([uvw, tt], axis=0)
+            elif mode == "gather8":
+                vals = rows                            # pure permute
             elif mode == "meso":
                 vals = _meso_sigma_T(rows)
             else:                                      # ("sfc", fields)
@@ -652,6 +656,45 @@ def interp_sfc(tables: SlabTables, basexy, weights, fields,
     cap = max(WIN, n // cap_frac)
     return _apply_fallback(tables, basexy + wrap, weights, rows, ok,
                            mode, cap)
+
+
+def permute_f32_cols(cols, perm, cap_frac: int = 16,
+                     interpret: bool = False):
+    """Permute up to 8 float32 [n] columns by ``perm`` using the slab
+    kernel as a BANDED gather (mode "gather8").
+
+    After an adaptive re-sort of drifted parcels the permutation is
+    locally banded — most parcels move few ranks; lon-crossers move
+    +-(ny*npl*density) ranks and are handled by the anchor pairs or
+    the capped fallback.  One 128-lane gather serves 128 destinations
+    x 8 columns, vs ~13 ns per offset PER COLUMN for XLA's gather —
+    ~8x less permute work for a full particle-state sort
+    (reference module_sort's array permutation, c:5777-5805)."""
+    k = len(cols)
+    assert k <= 8
+    n = perm.shape[0]
+    npad = -(-n // 1024) * 1024
+    tab = jnp.stack(
+        [jnp.pad(c, (0, npad - n)) for c in cols]
+        + [jnp.zeros(npad, jnp.float32)] * (8 - k))
+    CP, S, nanc = _plan(npad, n, 0)
+    out3 = _slab_out3(tab, perm.astype(jnp.int32),
+                      jnp.zeros((4, n), jnp.float32), CP, S, 0,
+                      "gather8", nanc, None, 0, interpret)
+    ok = _row(out3, 8, n) > 0.5
+    rows = [_row(out3, r, n) for r in range(k)]
+    cap = max(WIN, n // cap_frac)
+    nbad = jnp.sum((~ok).astype(jnp.int32))
+
+    def fix(rows_t):
+        idx_bad = _compact_bad(ok, cap)
+        src = jnp.take(perm, jnp.minimum(idx_bad, n - 1))
+        return tuple(
+            r.at[idx_bad].set(jnp.take(c, src), mode="drop")
+            for r, c in zip(rows_t, cols))
+
+    rows = jax.lax.cond(nbad > 0, fix, lambda r: r, tuple(rows))
+    return list(rows)
 
 
 # ----------------------------------------- module-facing convenience

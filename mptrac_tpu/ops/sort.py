@@ -41,11 +41,20 @@ def sort_key(met: Met, atm: Atm) -> jnp.ndarray:
 
 
 def _take_f32_pairs(cols, perm):
-    """Permute the f32 state columns.  (Pairing columns into wider
-    elements was tried — complex64 packing, f64 bitcast — but XLA:TPU
-    either cannot lower the bitcast or gathers the pair as two
-    offsets, so plain per-column gathers are the fastest portable
-    form; the driver amortizes them by re-sorting adaptively.)"""
+    """Permute the f32 state columns.
+
+    On TPU the slab kernel's banded-gather mode serves 8 columns per
+    gather offset (ops.slab_interp.permute_f32_cols); elsewhere plain
+    per-column gathers.  (Packing columns into wider elements was
+    tried — complex64, f64 bitcast — but XLA:TPU either cannot lower
+    the bitcast or gathers the pair as two offsets.)"""
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        from mptrac_tpu.ops.slab_interp import permute_f32_cols
+        out = []
+        for i in range(0, len(cols), 8):
+            out += permute_f32_cols(cols[i:i + 8], perm)
+        return out
     return [jnp.take(c, perm) for c in cols]
 
 

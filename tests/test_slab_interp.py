@@ -148,3 +148,24 @@ def test_sfc_matches_sfc_packed():
             np.asarray(out[i], np.float64),
             np.asarray(ref[name])[np.asarray(order)],
             rtol=3e-6, atol=2e-5)
+
+
+def test_permute_f32_cols_banded_and_random():
+    """Banded-gather permute must be exact for both nearly-banded and
+    fully random permutations (fallback covers the stragglers)."""
+    rng = np.random.default_rng(2)
+    n = 50_000
+    cols = [jnp.asarray(rng.standard_normal(n).astype(np.float32))
+            for _ in range(7)]
+    # banded: local shuffles plus a few big jumps
+    perm = np.arange(n)
+    for i in range(0, n - 64, 64):
+        rng.shuffle(perm[i:i + 64])
+    jump = rng.integers(0, n, 500)
+    perm[jump] = rng.permutation(perm[jump])
+    for p in (perm, rng.permutation(n)):
+        got = SL.permute_f32_cols(cols, jnp.asarray(p, jnp.int32),
+                                  cap_frac=1, interpret=True)
+        for c, gr in zip(cols, got):
+            np.testing.assert_array_equal(np.asarray(gr),
+                                          np.asarray(c)[p])
