@@ -205,7 +205,7 @@ def run_flagship(args, g, pipeline, jnp, jax, phase):
         # column permutes) when it dips.  Coherent drift is followed
         # by the kernel's per-call anchors, so this is rare.
         sort_thresh = float(os.environ.get("BENCH_SORT_THRESH",
-                                           "0.99"))
+                                           "0.995"))
         if sort_fn is not None:
             atm, cache = sort_fn(met01, atm, cache)
         a, c = step_block(atm, cache, 0)

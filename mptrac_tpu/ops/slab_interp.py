@@ -524,7 +524,7 @@ def _compact_bad(ok, cap):
     bad = ~ok
     badp = jnp.pad(bad, (0, ng * WIN - n))
     grp = jnp.sum(badp.reshape(ng, WIN), axis=1)       # [ng]
-    cap_g = max(1, min(ng, cap // 8))
+    cap_g = max(1, min(ng, cap // 16))
     _, gidx = jax.lax.top_k(grp, cap_g)
     cand = (gidx[:, None] * WIN
             + jnp.arange(WIN, dtype=jnp.int32)).reshape(-1)

@@ -70,8 +70,13 @@ def module_sort(met: Met, atm: Atm, cache: Cache):
     # end, so the permuted state keeps a consistent prefix mask)
     iso_per_parcel = cache.iso_var.shape[0] == atm.lon.shape[0]
     if atm.lon.dtype == jnp.float32 and cache.dt.dtype == jnp.float32:
+        # time (f64) rides the f32 permute as an exact Dekker hi/lo
+        # split (th + tl == time bitwise after reconstruction)
+        th = atm.time.astype(jnp.float32)
+        tl = (atm.time - th.astype(jnp.float64)).astype(jnp.float32)
         cols = [atm.lon, atm.lat, atm.p, cache.dt,
-                cache.uvwp[0], cache.uvwp[1], cache.uvwp[2]]
+                cache.uvwp[0], cache.uvwp[1], cache.uvwp[2],
+                th, tl]
         qnames = [k for k in atm.q
                   if atm.q[k].dtype == jnp.float32]
         cols += [atm.q[k] for k in qnames]
@@ -81,17 +86,17 @@ def module_sort(met: Met, atm: Atm, cache: Cache):
         else:
             iso_packed = False
         out = _take_f32_pairs(cols, perm)
-        lon, lat, p, dtc, u0, v0, w0 = out[:7]
-        qvals = out[7:7 + len(qnames)]
+        lon, lat, p, dtc, u0, v0, w0, th2, tl2 = out[:9]
+        time2 = (th2.astype(jnp.float64) + tl2.astype(jnp.float64))
+        qvals = out[9:9 + len(qnames)]
         q = dict(atm.q)
         for k, v in zip(qnames, qvals):
             q[k] = v
         for k in q:
             if k not in qnames:
                 q[k] = take(atm.q[k])
-        atm2 = atm.replace(time=take(atm.time), p=p, lon=lon, lat=lat,
-                           q=q)
-        iso2 = (out[7 + len(qnames)] if iso_packed
+        atm2 = atm.replace(time=time2, p=p, lon=lon, lat=lat, q=q)
+        iso2 = (out[9 + len(qnames)] if iso_packed
                 else (take(cache.iso_var) if iso_per_parcel
                       else cache.iso_var))
         cache2 = cache.replace(
