@@ -76,8 +76,10 @@ def main():
         from mptrac_tpu.types import astype_state
         atm, cache, met01, clim = astype_state(atm, cache, met01, clim)
     met01, atm, cache, clim = jax.device_put((met01, atm, cache, clim))
-    pack = jax.jit(build_met_pack)(met01)
-    jax.block_until_ready(pack)
+    pack = None
+    if not args.fast:
+        pack = jax.jit(build_met_pack)(met01)
+        jax.block_until_ready(pack)
     lane = not args.no_lane and not args.f64
     lpack = None
     if lane:
