@@ -266,7 +266,9 @@ def scatter_parcels(dd: DDGrid, atm: Atm, cap: int, lat_axis
         q={k: place(v) for k, v in atm.q.items()},
         np=jnp.asarray(counts))
     cache = Cache.zeros(dd.ndev * cap)
-    cache = cache.replace(rng_ctr=jnp.zeros(dd.ndev, jnp.uint64))
+    # per-device scalar fields get a [ndev] leading axis
+    cache = cache.replace(rng_ctr=jnp.zeros(dd.ndev, jnp.uint64),
+                          served_min=jnp.ones(dd.ndev, jnp.float32))
     return out, cache
 
 
@@ -304,9 +306,12 @@ def make_dd_step(ctl: Ctl, clim: Clim, dd: DDGrid, mesh: Mesh, cap: int,
         """Runs per device: met01 leaves have a leading [1] device axis
         from shard_map — squeeze it; atm/cache are the local [cap]
         slices."""
+        from mptrac_tpu.types import CACHE_DEVICE_SCALAR_FIELDS
         met_loc = jax.tree.map(lambda x: x[0], met01)
         atm = atm.replace(np=atm.np[0])
-        cache = cache.replace(rng_ctr=cache.rng_ctr[0])
+        # per-device scalar fields arrive [1]-shaped: squeeze them all
+        cache = cache.replace(**{
+            k: getattr(cache, k)[0] for k in CACHE_DEVICE_SCALAR_FIELDS})
         my = jax.lax.axis_index(axis)
 
         # Device-local RNG stream: offset the Squares counter far per
@@ -393,7 +398,8 @@ def make_dd_step(ctl: Ctl, clim: Clim, dd: DDGrid, mesh: Mesh, cap: int,
             np=n_new[None])
         cache3 = cache2.replace(
             uvwp=merged[:, nfields:nfields + 3].T.astype(jnp.float32),
-            rng_ctr=cache2.rng_ctr[None])
+            **{k: getattr(cache2, k)[None]
+               for k in CACHE_DEVICE_SCALAR_FIELDS})
         return atm3, cache3, overflow[None], jnp.sum(lost)[None]
 
     in_specs = (P(axis),  # pytree prefix: every met tile leaf sharded
@@ -416,5 +422,8 @@ def _atm_spec(axis, qnames):
 
 
 def _cache_spec(axis):
-    return Cache(uvwp=P(None, axis), dt=P(axis), rng_ctr=P(axis),
-                 iso_var=P(axis), iso_ps=P(), iso_ts=P(), iso_n=P())
+    """Derived from the Cache field categories (types.py) so a new
+    Cache field can never be silently dropped from the DD spec."""
+    from mptrac_tpu.types import cache_field_tree
+    return cache_field_tree(particle=P(axis), particle2d=P(None, axis),
+                            device_scalar=P(axis), glob=P())

@@ -59,20 +59,18 @@ def shard_atm(atm: Atm, mesh: Mesh, axis: str = "dp") -> Atm:
 
 
 def shard_cache(cache: Cache, mesh: Mesh, axis: str = "dp") -> Cache:
+    """Placements derive from the Cache field categories (types.py) so
+    a new field can never be silently dropped (round-4 regression)."""
+    from mptrac_tpu.types import cache_field_tree
     ps = particle_sharding(mesh, axis)
     rep = replicated(mesh)
     uvwp_s = NamedSharding(mesh, P(None, axis))
-    return Cache(
-        uvwp=jax.device_put(cache.uvwp, uvwp_s),
-        dt=jax.device_put(cache.dt, ps),
-        rng_ctr=jax.device_put(cache.rng_ctr, rep),
-        # iso_var may be the [1] placeholder when ISOSURF is off
-        iso_var=jax.device_put(
-            cache.iso_var,
-            ps if cache.iso_var.shape == cache.dt.shape else rep),
-        iso_ps=jax.device_put(cache.iso_ps, rep),
-        iso_ts=jax.device_put(cache.iso_ts, rep),
-        iso_n=jax.device_put(cache.iso_n, rep))
+    shardings = cache_field_tree(particle=ps, particle2d=uvwp_s,
+                                 device_scalar=rep, glob=rep)
+    # iso_var may be the [1] placeholder when ISOSURF is off
+    if cache.iso_var.shape != cache.dt.shape:
+        shardings = shardings.replace(iso_var=rep)
+    return jax.tree.map(jax.device_put, cache, shardings)
 
 
 def replicate_met(met: Met, mesh: Mesh) -> Met:

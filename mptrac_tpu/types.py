@@ -120,6 +120,45 @@ class Cache:
 _register(Cache, ["uvwp", "dt", "rng_ctr", "iso_var", "iso_ps", "iso_ts",
                   "iso_n", "served_min"])
 
+# ---------------------------------------------------------------------
+# Cache field categories — the SINGLE source of truth for every
+# sharding-spec / placement tree over Cache (parallel.dd, parallel.mesh,
+# multihost users).  A new data field MUST be added to exactly one
+# category; the import-time assertion below fails loudly otherwise, so
+# a spec site can never silently drop a field again (that regression
+# broke all DD paths in round 4).
+# ---------------------------------------------------------------------
+#: [npmax] per-particle arrays (sharded over the particle axis)
+CACHE_PARTICLE_FIELDS = ("dt", "iso_var")
+#: [k, npmax] per-particle arrays with a leading non-particle axis
+CACHE_PARTICLE2D_FIELDS = ("uvwp",)
+#: per-device scalars (one value per device under DD shard_map)
+CACHE_DEVICE_SCALAR_FIELDS = ("rng_ctr", "served_min")
+#: small replicated global tables / scalars
+CACHE_GLOBAL_FIELDS = ("iso_ps", "iso_ts", "iso_n")
+
+_CACHE_ALL = (set(CACHE_PARTICLE_FIELDS) | set(CACHE_PARTICLE2D_FIELDS)
+              | set(CACHE_DEVICE_SCALAR_FIELDS) | set(CACHE_GLOBAL_FIELDS))
+assert _CACHE_ALL == {f.name for f in dataclasses.fields(Cache)}, (
+    "Cache field categories out of sync with the dataclass: "
+    f"{_CACHE_ALL ^ {f.name for f in dataclasses.fields(Cache)}}")
+
+
+def cache_field_tree(particle, particle2d, device_scalar, glob) -> "Cache":
+    """Build a Cache-shaped tree with one value per field *category*
+    (see the category constants above).  Used to derive every
+    sharding-spec / placement tree for Cache from one place."""
+    kw = {}
+    for k in CACHE_PARTICLE_FIELDS:
+        kw[k] = particle
+    for k in CACHE_PARTICLE2D_FIELDS:
+        kw[k] = particle2d
+    for k in CACHE_DEVICE_SCALAR_FIELDS:
+        kw[k] = device_scalar
+    for k in CACHE_GLOBAL_FIELDS:
+        kw[k] = glob
+    return Cache(**kw)
+
 
 #: 3-D fields of a meteo snapshot on pressure levels
 #: (reference met_t, mptrac.h:3595-3765)
