@@ -155,10 +155,14 @@ def run_flagship(args, g, pipeline, jnp, jax, phase):
             pack = MetPack(w64=jax.jit(build_advect_pack)(met01))
         else:
             lane = not args.no_lane and args.fp32
-            pack = jax.jit(functools.partial(build_met_pack,
-                                             lane=lane))(met01)
-        jax.block_until_ready(pack)
-        phase("met pack built" + (" (lane tables)" if lane else ""))
+            if lane:
+                # fused-RK per-cell tables (ops.rk_fused): built
+                # un-jitted (host-side axis introspection)
+                pack = build_met_pack(met01, cell=True)
+            else:
+                pack = jax.jit(build_met_pack)(met01)
+        jax.block_until_ready(jax.tree.leaves(pack))
+        phase("met pack built" + (" (cell tables)" if lane else ""))
 
     # The slab kernel needs spatially sorted parcels (reference
     # module_sort, c:5699); re-sorted once per timed block (~ SORT_DT)

@@ -50,6 +50,9 @@ class MetPack(NamedTuple):
     packT: Optional[jnp.ndarray] = None
     sfcT: Optional[jnp.ndarray] = None
     pack64: Optional[jnp.ndarray] = None
+    #: per-cell fused-RK tables (ops.rk_fused) — the fastest path:
+    #: one Pallas pass per step serves every RK stage + meso sigma + T
+    cell: Optional[object] = None
 
 
 
@@ -88,14 +91,22 @@ SFC_FIELDS = ("ps", "pbl", "ts", "zs", "cape", "cin", "pel", "plcl",
 
 
 def build_met_pack(met01: Met, wind: bool = True, sfc: bool = True,
-                   lane: bool = False) -> MetPack:
+                   lane: bool = False, cell: bool = False) -> MetPack:
     """Build all gather tables for a met pair (once per met interval,
     amortized over the steps in between — replaces the reference's
     per-parcel cached-index reuse, mptrac.h:964).
 
-    ``lane=True`` builds the transposed slab-kernel tables instead of
-    the row-major XLA-gather tables (same HBM footprint; requires
-    sorted parcels, see ops.slab_interp)."""
+    ``cell=True`` builds the per-cell fused-RK tables (ops.rk_fused;
+    130 MB at a 1-degree/61-level grid vs 2.1 GB for the 64-wide
+    tables) plus the surface slab table — the production path for
+    sorted parcels.  Must be called OUTSIDE jit (host-side axis
+    introspection).  ``lane=True`` builds the round-4 transposed
+    slab-kernel tables (ops.slab_interp) instead."""
+    if cell:
+        from mptrac_tpu.ops import rk_fused, slab_interp
+        return MetPack(
+            cell=rk_fused.build_cell_pack(met01) if wind else None,
+            sfcT=slab_interp.build_sfcT(met01) if sfc else None)
     if lane:
         from mptrac_tpu.ops import slab_interp
         packT = slab_interp.build_packT(met01) if wind else None

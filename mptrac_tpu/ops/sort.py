@@ -40,22 +40,40 @@ def sort_key(met: Met, atm: Atm) -> jnp.ndarray:
     return jnp.where(atm.mask, key, jnp.iinfo(jnp.int32).max)
 
 
+#: max |perm - iota| for which the banded permute kernel is used; a
+#: wider permutation (e.g. the FIRST sort of a randomly ordered
+#: ensemble) falls back to plain gathers — the banded kernel cannot
+#: serve it and would silently zero state (round-4 advisor finding)
+BAND_MAX = 4096
+
+
 def _take_f32_pairs(cols, perm):
     """Permute the f32 state columns.
 
-    On TPU the slab kernel's banded-gather mode serves 8 columns per
-    gather offset (ops.slab_interp.permute_f32_cols); elsewhere plain
-    per-column gathers.  (Packing columns into wider elements was
-    tried — complex64, f64 bitcast — but XLA:TPU either cannot lower
-    the bitcast or gathers the pair as two offsets.)"""
+    On TPU, RE-sorts of drifted parcels produce locally banded
+    permutations; the slab kernel's banded-gather mode then serves 8
+    columns per gather offset (ops.slab_interp.permute_f32_cols),
+    ~8x cheaper than per-column gathers.  A cheap bandedness check
+    guards it: non-banded permutations (initial sort, resume) take
+    the plain-gather branch, which is correct for ANY permutation."""
     import jax as _jax
-    if _jax.default_backend() == "tpu":
-        from mptrac_tpu.ops.slab_interp import permute_f32_cols
+    if _jax.default_backend() != "tpu":
+        return [jnp.take(c, perm) for c in cols]
+    from mptrac_tpu.ops.slab_interp import permute_f32_cols
+    n = perm.shape[0]
+    band = jnp.max(jnp.abs(perm - jnp.arange(n, dtype=perm.dtype)))
+
+    def banded(cols_t):
         out = []
-        for i in range(0, len(cols), 8):
-            out += permute_f32_cols(cols[i:i + 8], perm)
-        return out
-    return [jnp.take(c, perm) for c in cols]
+        for i in range(0, len(cols_t), 8):
+            out += permute_f32_cols(list(cols_t[i:i + 8]), perm)
+        return tuple(out)
+
+    def plain(cols_t):
+        return tuple(jnp.take(c, perm) for c in cols_t)
+
+    return list(jax.lax.cond(band <= BAND_MAX, banded, plain,
+                             tuple(cols)))
 
 
 def module_sort(met: Met, atm: Atm, cache: Cache):
@@ -70,13 +88,13 @@ def module_sort(met: Met, atm: Atm, cache: Cache):
     # end, so the permuted state keeps a consistent prefix mask)
     iso_per_parcel = cache.iso_var.shape[0] == atm.lon.shape[0]
     if atm.lon.dtype == jnp.float32 and cache.dt.dtype == jnp.float32:
-        # time (f64) rides the f32 permute as an exact Dekker hi/lo
-        # split (th + tl == time bitwise after reconstruction)
-        th = atm.time.astype(jnp.float32)
-        tl = (atm.time - th.astype(jnp.float64)).astype(jnp.float32)
+        # time stays f64 and is permuted by a plain gather: a hi/lo
+        # f32 split is NOT exact once |time| needs >47 significand
+        # bits (~4 years of seconds at sub-ms resolution; round-4
+        # advisor finding), and one extra f64 gather per sort is cheap
+        time2 = take(atm.time)
         cols = [atm.lon, atm.lat, atm.p, cache.dt,
-                cache.uvwp[0], cache.uvwp[1], cache.uvwp[2],
-                th, tl]
+                cache.uvwp[0], cache.uvwp[1], cache.uvwp[2]]
         qnames = [k for k in atm.q
                   if atm.q[k].dtype == jnp.float32]
         cols += [atm.q[k] for k in qnames]
@@ -86,9 +104,8 @@ def module_sort(met: Met, atm: Atm, cache: Cache):
         else:
             iso_packed = False
         out = _take_f32_pairs(cols, perm)
-        lon, lat, p, dtc, u0, v0, w0, th2, tl2 = out[:9]
-        time2 = (th2.astype(jnp.float64) + tl2.astype(jnp.float64))
-        qvals = out[9:9 + len(qnames)]
+        lon, lat, p, dtc, u0, v0, w0 = out[:7]
+        qvals = out[7:7 + len(qnames)]
         q = dict(atm.q)
         for k, v in zip(qnames, qvals):
             q[k] = v
@@ -96,7 +113,7 @@ def module_sort(met: Met, atm: Atm, cache: Cache):
             if k not in qnames:
                 q[k] = take(atm.q[k])
         atm2 = atm.replace(time=time2, p=p, lon=lon, lat=lat, q=q)
-        iso2 = (out[9 + len(qnames)] if iso_packed
+        iso2 = (out[7 + len(qnames)] if iso_packed
                 else (take(cache.iso_var) if iso_per_parcel
                       else cache.iso_var))
         cache2 = cache.replace(

@@ -26,6 +26,37 @@ def module_advect(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
     return _advect_zeta(ctl, cache, met01, atm), cache
 
 
+def module_advect_fused(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
+                        cell):
+    """Fused advect via the single-pass RK kernel (ops.rk_fused):
+    positions advance AND the final-position mesoscale subgrid sigma
+    and temperature come out of the same kernel invocation.
+
+    Returns (atm, cache, (su, sv, sw), T).  sigma/T are evaluated at
+    the post-advect position (the unfused pipeline evaluates them
+    after the turbulent-diffusion displacement, ~100 m later — far
+    below one met cell, see docs/performance.md).  fp32 only; parcels
+    must be ~sorted (module_sort)."""
+    from mptrac_tpu.ops import rk_fused
+
+    dt = cache.dt
+    active = (dt != 0.0) & atm.mask
+    wt0 = interp.time_weight(met01, atm.time).astype(jnp.float32)
+    (nlon, nlat, np_, su, sv, sw, T), served = rk_fused.advect_all(
+        cell, met01, ctl.advect, atm.lon, atm.lat, atm.p,
+        dt.astype(jnp.float32), wt0)
+    if cache.served_min is not None:
+        cache = cache.replace(served_min=jnp.minimum(
+            cache.served_min, served.astype(jnp.float32)))
+    new_time = atm.time + dt
+    atm = atm.replace(
+        time=jnp.where(active, new_time, atm.time),
+        lon=jnp.where(active, nlon, atm.lon),
+        lat=jnp.where(active, nlat, atm.lat),
+        p=jnp.where(active, np_, atm.p))
+    return atm, cache, (su, sv, sw), T
+
+
 def _rk_weight(ctl: Ctl, i: int) -> float:
     if ctl.advect == 2:
         return 0.0 if i == 0 else 1.0

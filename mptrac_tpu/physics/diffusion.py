@@ -123,12 +123,14 @@ def module_diff_turb(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
 
 
 def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
-                     pack=None, slab=None):
+                     pack=None, slab=None, sig=None):
     """Mesoscale wind fluctuations: AR(1) colored noise scaled to the
     local subgrid wind variance (reference c:4258-4335).
 
     The 16-point variance (2x2x2 cells x 2 snapshots) is accumulated in
     float32 in the reference's summation order for cross-checking.
+    ``sig`` optionally supplies precomputed (usig, vsig, wsig) from the
+    fused RK kernel (ops.rk_fused), skipping the locate + stencil here.
     """
     n = atm.npmax
     rs, ctr = module_rng3(ctl.rng_type, cache.rng_ctr, n,
@@ -138,19 +140,22 @@ def module_diff_meso(ctl: Ctl, cache: Cache, met01: Met, atm: Atm,
     dt = cache.dt
     active = (dt != 0.0) & atm.mask
 
-    lons = met01.lon[0] if met01.lon.ndim == 2 else met01.lon
-    lats = met01.lat[0] if met01.lat.ndim == 2 else met01.lat
-    ps = met01.p[0] if met01.p.ndim == 2 else met01.p
-    ix = interp.locate_reg(lons, atm.lon)
-    iy = interp.locate_irr(lats, atm.lat)
-    iz = interp.locate_irr(ps, atm.p)
-
     u3 = met01.fields3d["u"]
     v3 = met01.fields3d["v"]
     w3 = met01.fields3d["w"]
     nx, ny, npl = u3.shape[-3:]
 
-    if slab is not None:
+    if sig is None:
+        lons = met01.lon[0] if met01.lon.ndim == 2 else met01.lon
+        lats = met01.lat[0] if met01.lat.ndim == 2 else met01.lat
+        ps = met01.p[0] if met01.p.ndim == 2 else met01.p
+        ix = interp.locate_reg(lons, atm.lon)
+        iy = interp.locate_irr(lats, atm.lat)
+        iz = interp.locate_irr(ps, atm.p)
+
+    if sig is not None:
+        usig, vsig, wsig = sig
+    elif slab is not None:
         # Sorted slab-gather kernel: one VMEM window pair serves the
         # whole 16-point stencil for a 128-parcel group
         from mptrac_tpu.ops import slab_interp

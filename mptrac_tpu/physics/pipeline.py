@@ -59,7 +59,13 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
         from mptrac_tpu.ops.slab_interp import SlabTables
         slab = SlabTables(packT=pack.packT, sfcT=pack.sfcT,
                           pack64=pack.pack64)
+    if pack is not None and fp32:
         sfcT = pack.sfcT
+    # Per-cell fused-RK kernel (ops.rk_fused): advect + meso sigma +
+    # meteo T in ONE Pallas pass over sorted parcels
+    cell = (pack.cell if pack is not None and fp32
+            and ctl.advect_vert_coord == 0 and ctl.advect in (1, 2, 4)
+            else None)
 
     # Set timesteps of air parcels
     with jax.named_scope("module_timesteps"):
@@ -71,10 +77,17 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
     atm = m_position.module_position(cache, met01, atm, sfc)
 
     # Advection
+    fused_sig = None
+    fused_t = None
     if ctl.advect > 0:
         with jax.named_scope("module_advect"):
-            atm, cache = m_advect.module_advect(ctl, cache, met01,
-                                                atm, wpack, slab)
+            if cell is not None:
+                atm, cache, fused_sig, fused_t = \
+                    m_advect.module_advect_fused(ctl, cache, met01,
+                                                 atm, cell)
+            else:
+                atm, cache = m_advect.module_advect(ctl, cache, met01,
+                                                    atm, wpack, slab)
 
     # Turbulent diffusion
     if ctl.diffusion and (
@@ -92,7 +105,8 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
     # Mesoscale diffusion
     if ctl.diffusion and (ctl.turb_mesox > 0 or ctl.turb_mesoz > 0):
         atm, cache = m_diff.module_diff_meso(ctl, cache, met01, atm,
-                                             wpack, slab)
+                                             wpack, slab,
+                                             sig=fused_sig)
 
     # Convection
     if (ctl.conv_mix_pbl or ctl.conv_cape >= 0) and flags.do_conv:
@@ -114,7 +128,9 @@ def run_timestep(ctl: Ctl, clim: Clim, met01: Met, atm: Atm, cache: Cache,
 
     # Interpolate meteo data
     if ctl.met_dt_out > 0 and flags.do_meteo:
-        atm = m_meteo.module_meteo(ctl, cache, clim, met01, atm, pack)
+        atm = m_meteo.module_meteo(
+            ctl, cache, clim, met01, atm, pack,
+            pre3d={"t": fused_t} if fused_t is not None else None)
 
     # Boundary conditions (initial)
     bound_on = (ctl.bound_lat0 < ctl.bound_lat1
