@@ -94,6 +94,12 @@ def main():
     if args.dd:
         return bench_dd(args)
 
+    if not args.exact and args.fp32 and not args.no_lane:
+        # round the ensemble UP to a chunk multiple: the fused RK
+        # kernel's inputs are then zero-copy views (no padded copies)
+        chunk = 1 << 21
+        args.n_parcels = -(-args.n_parcels // chunk) * chunk
+
     import __graft_entry__ as g
     from mptrac_tpu.physics import pipeline
 

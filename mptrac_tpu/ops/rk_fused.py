@@ -18,16 +18,22 @@ invocation per step performs
 
 Design vs the round-4 slab kernel (ops.slab_interp):
 
-- Table is per-CELL, not per-corner: ``cellT [8, ncellp]`` rows
-  (u0,v0,w0,u1,v1,w1,t0,t1).  8x less HBM (130 MB vs 1.04 GB at the
-  bench grid) and 8x less slab DMA; the 8 corners are gathered as 8
-  lane-shuffles from the slab instead of 1 from a 64-wide table.
-- One DMA sweep per step instead of one per (RK stage x module):
+- Z-MAJOR cell order: flat cell = (iz*nx + ix)*ny + iy (module_sort
+  uses the same key).  Parcels on one pressure level drift RIGIDLY
+  (vertical cell-crossing is ~0 between sorts), so vertical wind
+  shear — which tears x-major sorted groups apart within ~10 steps —
+  no longer degrades locality; and a longitude step is +-ny lanes
+  (not +-ny*npl), so horizontal drift stays inside tiny slab margins.
+- Table is per-cell with the corner OFFSETS baked into the rows:
+  ``cellT [32, nlanes]`` rows (dz*2+dx)*8+field, columns padded with
+  per-level cyclic margin columns so dateline crossers resolve via
+  the +-nxc*ny wrap candidates.  One take serves 2x2 of the corner
+  stencil; the remaining dy corner is lane +1.
+- One DMA sweep per STEP instead of one per (RK stage x module):
   advect + meso + meteo-T shared ~5 sweeps before; now 1.
-- Serving is 3 anchored window passes per stage (bulk at the group
-  median, then min/max of the still-unserved), each pass gathering
-  the 4 low corners from windows at the anchor and the 4 high
-  (dx=1) corners from windows at anchor+ox.
+- Serving: per stage, 2 corner-offset gathers x KW 128-lane windows
+  anchored at the group's median-lane cell — branch-free, scalar-free
+  in the common case; residue behind one lax.cond refinement sweep.
 
 Parcels the kernel cannot serve (drifted beyond the slab margins
 since the last sort) are recomputed EXACTLY by a bounded XLA mirror
@@ -56,21 +62,28 @@ from mptrac_tpu.types import Met
 
 WIN = 128
 U = 4                 # groups unrolled per grid step
-NPASS = 4             # anchored serve passes per stage (pass 2+ are
-                      # cond-skipped when everything is already served)
-ROWS = 32             # table rows: 4 corner-offsets x 8 fields
-SLAB_MAX = 65536      # max slab cells (32 rows x 4 B -> 8 MB VMEM)
+NPASS = 1             # serve passes per stage.  >1 adds lax.cond
+                      # refinement sweeps — but a value-carrying cond
+                      # spills the 16-vreg serve state to VMEM and
+                      # costs ~6 ns/parcel PER SERVE on v5e, so the
+                      # production setting is 1: the single pass's
+                      # window is sized to cover the whole group plus
+                      # one longitude-cell crossing, and the rare
+                      # residue goes to the XLA fallback tiers.
+ROWS = 64             # table rows: 8 corner-offsets x 8 fields
+SLAB_MAX = 32768      # max slab lanes (64 rows x 4 B -> 8 MB VMEM)
 FALLBACK_TIERS = 2    # 0 disables the XLA fallback (DIAGNOSTIC ONLY)
 
 
 @dataclass
 class CellPack:
     """Per-cell gather tables + locate tables for one met pair."""
-    cellT: jnp.ndarray     # [32, ntotp]: row co*8+f, corner-offset
-    #   co in (0, +1, +oy, +oy+1) x field f in
-    #   (u0,v0,w0,u1,v1,w1,t0,t1) — one lane gather serves the whole
-    #   dx-half of the 2x2x2 corner stencil
-    cellR: jnp.ndarray     # [ntotp, 8] row-major mirror (XLA fallback)
+    cellT: jnp.ndarray     # [64, nlanes]: row (dy*4+dz*2+dx)*8+f,
+    #   field f in (u0,v0,w0,u1,v1,w1,t0,t1) — ONE lane gather serves
+    #   the parcel's entire 2x2x2 corner stencil (all corner offsets
+    #   live in the rows).  Lane = (iz*nxT + ix + 1)*ny + iy with one
+    #   west / two east cyclic margin columns per level (nxT = nx+3).
+    cellR: jnp.ndarray     # [nlanes, 8] row-major mirror (XLA fallback)
     latC: jnp.ndarray      # [8, LC] compare-count tile of the lat axis
     latFlat: jnp.ndarray   # [1, NYpad] lat axis values
     pC: jnp.ndarray        # [8, PC] compare-count tile of the p axis
@@ -80,10 +93,11 @@ class CellPack:
     ny: int = 0
     npl: int = 0
     nxc: int = 0           # cyclic lon period in columns
-    wrap: int = 0          # cells prepended west of the main table
-    ntot: int = 0          # main-table cells (nx*ny*npl)
+    nxT: int = 0           # table columns per level (nx + margins)
+    ntot: int = 0          # main cells (nx*ny*npl)
     lon_periodic: bool = False
     lat_asc: bool = True
+    lat_reg: bool = False  # lat axis exactly arithmetic
     p_asc: bool = False
     cartesian: bool = False
 
@@ -94,8 +108,9 @@ class CellPack:
 jax.tree_util.register_dataclass(
     CellPack,
     data_fields=["cellT", "cellR", "latC", "latFlat", "pC", "pFlat"],
-    meta_fields=["nx", "ny", "npl", "nxc", "wrap", "ntot",
-                 "lon_periodic", "lat_asc", "p_asc", "cartesian"])
+    meta_fields=["nx", "ny", "npl", "nxc", "nxT", "ntot",
+                 "lon_periodic", "lat_asc", "lat_reg", "p_asc",
+                 "cartesian"])
 
 
 def _tile8(axis: np.ndarray, asc: bool) -> np.ndarray:
@@ -126,8 +141,7 @@ def build_cell_pack(met01: Met) -> CellPack:
     lat_asc = bool(lat_np[1] > lat_np[0])
     p_asc = bool(p_np[1] > p_np[0])
     nxc = nx - 1 if met01.lon_periodic else nx
-    wrapcols = 2                     # cyclic margin columns per side
-    wrap = wrapcols * ox
+    nxT = nx + 3   # 1 west + 2 east cyclic margin columns per level
 
     @functools.partial(jax.jit, static_argnames=("periodic",))
     def assemble(met01, periodic):
@@ -135,29 +149,48 @@ def build_cell_pack(met01: Met) -> CellPack:
         v = met01.fields3d["v"]
         w = met01.fields3d["w"]
         t = met01.fields3d.get("t")
-        rows = [u[0], v[0], w[0], u[1], v[1], w[1]]
-        rows += ([t[0], t[1]] if t is not None
+        flds = [u[0], v[0], w[0], u[1], v[1], w[1]]
+        flds += ([t[0], t[1]] if t is not None
                  else [jnp.zeros_like(u[0])] * 2)
-        base = jnp.stack([r.reshape(n) for r in rows]).astype(
-            jnp.float32)
-        if periodic:                  # duplicated wrap column: period
-            west = base[:, n - (wrapcols + 1) * ox:n - ox]
-            east = base[:, ox:(wrapcols + 1) * ox]
+        # z-major 3-D view [8, npl, nx, ny]
+        b3 = jnp.stack([jnp.transpose(f, (2, 0, 1)) for f in flds]
+                       ).astype(jnp.float32)
+        # per-level cyclic margin columns: west = ix nxc-1, east =
+        # ix 1, 2 (the grid's own last column duplicates ix 0) — the
+        # dateline wrap candidates d -+ nxc*ny land on them
+        if periodic:
+            wcol = b3[:, :, nxc - 1:nxc]
+            e1 = b3[:, :, 1:2]
+            e2 = b3[:, :, 2:3]
         else:
-            west = base[:, :wrap] * 0.0
-            east = base[:, n - wrap:] * 0.0
-        base = jnp.concatenate([west, base, east], axis=1)
-        ntotp = -(-base.shape[1] // 1024) * 1024
-        if ntotp != base.shape[1]:
-            base = jnp.pad(base, ((0, 0), (0, ntotp - base.shape[1])))
-        # 32-row corner-offset expansion: one lane gather serves the
-        # 4 same-dx corners of the stencil (offsets 0, +1, +oy, +oy+1)
-        oy = npl
-        ext = jnp.pad(base, ((0, 0), (0, oy + 2)))
-        cell32 = jnp.concatenate(
-            [ext[:, off:off + ntotp] for off in (0, 1, oy, oy + 1)],
+            wcol = b3[:, :, :1] * 0.0
+            e1 = b3[:, :, -1:] * 0.0
+            e2 = e1
+        b3x = jnp.concatenate([wcol, b3, e1, e2], axis=2)
+
+        def shift(dy, dz, dx):
+            a = b3x
+            if dz:   # +1 level; top clamp is never read (iz<=npl-2)
+                a = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            if dx:   # +1 lon column within the padded level
+                a = jnp.concatenate([a[:, :, 1:], a[:, :, -1:]],
+                                    axis=2)
+            if dy:   # +1 lat row; edge clamp never read (iy<=ny-2)
+                a = jnp.concatenate([a[:, :, :, 1:], a[:, :, :, -1:]],
+                                    axis=3)
+            return a.reshape(8, npl * nxT * ny)
+
+        base = shift(0, 0, 0)
+        nlanes = -(-base.shape[1] // 1024) * 1024
+
+        def padl(a):
+            return jnp.pad(a, ((0, 0), (0, nlanes - a.shape[1])))
+
+        cell64 = jnp.concatenate(
+            [padl(shift(dy, dz, dx))
+             for dy in (0, 1) for dz in (0, 1) for dx in (0, 1)],
             axis=0)
-        return cell32, base.T
+        return cell64, padl(base).T
 
     cellT, cellR = assemble(met01, bool(met01.lon_periodic))
 
@@ -176,29 +209,36 @@ def build_cell_pack(met01: Met) -> CellPack:
         latFlat=jnp.asarray(flatpad(lat_np, 256)),
         pC=jnp.asarray(_tile8(p_np, p_asc)),
         pFlat=jnp.asarray(flatpad(p_np, 256)),
-        nx=nx, ny=ny, npl=npl, nxc=nxc, wrap=wrap, ntot=n,
+        nx=nx, ny=ny, npl=npl, nxc=nxc, nxT=nxT, ntot=n,
         lon_periodic=bool(met01.lon_periodic),
-        lat_asc=lat_asc, p_asc=p_asc,
+        lat_asc=lat_asc,
+        lat_reg=bool(np.all(lat_np == lat_np[0]
+                            + np.arange(ny, dtype=np.float32)
+                            * (lat_np[1] - lat_np[0]))),
+        p_asc=p_asc,
         cartesian=met01.coord_type != 0)
 
 
 # --------------------------------------------------------------- plan
 
 def _plan(pack: CellPack, n: int) -> Tuple[int, int, int]:
-    """(CP, slabS, KW): parcels per chunk, slab cells, windows per
-    anchor.  All static at trace time."""
-    ox = pack.ny * pack.npl
+    """(CP, slabS, KW): parcels per chunk, slab lanes, windows per
+    anchor.  All static at trace time.  In the z-major layout the
+    corner reach is +-1 lane (dy) — the dz/dx reach lives in the
+    table rows — so slab margins are tiny and slabS ~ chunk span."""
     density = max(n / max(pack.ntot, 1), 1e-3)
-    room = max(SLAB_MAX - 3 * ox - 4096, 4096)
+    room = max(SLAB_MAX - 2 * pack.ny - 4096, 4096)
     cp_f = max(min(density * room / 2, 1 << 21), 1 << 12)
     CP = 1 << (int(cp_f).bit_length() - 1)
     CP = max(CP, U * WIN)
     span = int(2 * CP / density)
     ntotp = pack.cellT.shape[1]
-    slabS = min(-(-(span + 3 * ox + 4096) // 1024) * 1024, ntotp)
-    # per-anchor windows: group span + up to 127 cells of
-    # 128-alignment loss (the corner reach lives in the 32-row table)
-    KW = max(1, min(4, -(-int(WIN / density + WIN) // WIN)))
+    slabS = min(-(-(span + 2 * pack.ny + 4096) // 1024) * 1024,
+                ntotp)
+    # single-pass window reach: half the group span + one longitude
+    # cell (ny lanes, the RK-midpoint crosser distance) + alignment
+    KW = max(2, min(8, -(-int(pack.ny + WIN / density / 2 + 130)
+                         // (WIN // 2))))
     return CP, slabS, KW
 
 
@@ -213,25 +253,23 @@ def _rk_fracs(nstage: int):
 
 # ------------------------------------------------------------- kernel
 
-def _kernel(s_ref, pari_ref, in_ref, parf_ref, latC_ref,
-            latF_ref, pC_ref, pF_ref, tab_hbm, out_ref, slab, sem, *,
+def _kernel(s_ref, pari_ref, lon_ref, lat_ref, pp_ref, dt_ref,
+            wt_ref, parf_ref, latC_ref, latF_ref, pC_ref, pF_ref,
+            tab_hbm, out_ref, slab, sem, *,
             GB, slabS, KW, nstage, ny, npl, LC, PC, lat_asc, p_asc,
-            lon_periodic, cartesian, nx):
+            lon_periodic, cartesian, nx, NXT, NXC, lat_reg):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
     i32 = jnp.int32
-    ox = ny * npl
-    oy = npl
 
     with jax.enable_x64(False):
         c = pl.program_id(0)
         g = pl.program_id(1)
         start = s_ref[c] * WIN       # s_ref holds 128-lane window units
-        ncellc = pari_ref[0]         # cyclic period (cells)
-        wrap = pari_ref[1]
-        ntotv = pari_ref[2]          # valid table cells (incl margins)
+        oxl = pari_ref[0]            # dateline wrap offset (lanes)
+        nlv = pari_ref[1]            # valid table lanes
 
         def pf(i):
             # f32 params live in a small VMEM block (f32 SMEM prefetch
@@ -246,6 +284,11 @@ def _kernel(s_ref, pari_ref, in_ref, parf_ref, latC_ref,
         lat_lo = pf(4)
         lat_hi = pf(5)
         inv_tden = pf(6)
+        # arithmetic-lat parameters derived from the value table
+        # (exactly the values the weight lookup uses)
+        latw0 = latF_ref[:, 0:WIN]
+        lat0 = latw0[0:1, 0:1]
+        dlat = latw0[0:1, 1:2] - latw0[0:1, 0:1]
         re_km = f32(6367.421)
         d2r = f32(np.pi / 180.0)
         NYPAD = latF_ref.shape[-1]
@@ -314,7 +357,16 @@ def _kernel(s_ref, pari_ref, in_ref, parf_ref, latC_ref,
             lat2 = jnp.clip(xlat, lat_lo, lat_hi)
             ix = jnp.clip(jnp.floor((lon2 - lon0) / dlon).astype(i32),
                           0, nx - 2)
-            iy = count_tiled(latC_ref[...], lat2, ny, lat_asc, LC)
+            if lat_reg:
+                # exactly-arithmetic axis: index arithmetic replaces
+                # the 23-iteration compare-count (same result for all
+                # clipped inputs; mirrors ops.interp locate_reg)
+                iy = jnp.clip(jnp.floor((lat2 - lat0)
+                                        / dlat).astype(i32),
+                              0, ny - 2)
+            else:
+                iy = count_tiled(latC_ref[...], lat2, ny, lat_asc,
+                                 LC)
             iz = count_tiled(pC_ref[...], xp, npl, p_asc, PC)
             x0 = lon0 + ix.astype(f32) * dlon
             x1 = x0 + dlon
@@ -323,17 +375,19 @@ def _kernel(s_ref, pari_ref, in_ref, parf_ref, latC_ref,
             wy = (y1 - lat2) / (y1 - y0)
             p0, p1, okz = axis_pair(pF_ref, iz, NPPAD, npl)
             wz = (p1 - xp) / (p1 - p0)
-            idx = (ix * ny + iy) * npl + iz
-            return idx, wx, wy, wz, oky & okz
+            lane = (iz * NXT + ix + 1) * ny + iy
+            return lane, ix, wx, wy, wz, oky & okz
 
-        def gather_win(Aw, off):
-            """[ROWS, WIN] slab values at window-unit base Aw (lane
-            offset Aw*WIN) + lane offsets off, plus the hit mask.
-            One take serves the whole 4-corner dx-half (the corner
-            offsets live in the table rows).  The *WIN multiply stays
-            inside pl.ds so Mosaic can prove 128-alignment."""
+        def gather_win(Aw, lanes):
+            """[ROWS, WIN] slab values at per-parcel slab lanes from
+            KW windows at window-unit base Aw, plus the hit mask.
+            One take serves the whole (dz,dx) 2x2 of the corner
+            stencil (those offsets live in the table rows).  The *WIN
+            multiply stays inside pl.ds so Mosaic can prove
+            128-alignment of the dynamic offset."""
             acc = jnp.zeros((ROWS, WIN), f32)
             hit = jnp.zeros((1, WIN), jnp.bool_)
+            off = lanes - Aw * WIN
             for j in range(KW):
                 w = slab[:, pl.ds((Aw + j) * WIN, WIN)]
                 oj = off - j * WIN
@@ -345,105 +399,64 @@ def _kernel(s_ref, pari_ref, in_ref, parf_ref, latC_ref,
                 hit = hit | inj
             return acc, hit
 
-        def gather3(lanes, positions):
-            """[ROWS, WIN] values at per-parcel slab lanes, scanned
-            over 3 prefetched window positions (the west-crossed /
-            in-place / east-crossed classes of an RK-stage cell
-            relative to the group's base cell).  No scalar reduces,
-            no branches: the common sorted case is fully served
-            here."""
-            acc = jnp.zeros((ROWS, WIN), f32)
-            hit = jnp.zeros((1, WIN), jnp.bool_)
-            for Aw in positions:
-                v, h = gather_win(Aw, lanes - Aw * WIN)
-                acc = jnp.where(h & ~hit, v, acc)
-                hit = hit | h
-            return acc, hit
-
         def serve(d):
-            """(vlo, vhi, ok): the dx=0 / dx=1 corner-block values
-            [ROWS, WIN] at slab coords d [1, WIN].
+            """(cv, ok): the full corner-stencil values [64, WIN] at
+            slab lanes d [1, WIN], plus the served mask.
 
-            Pass 1 anchors on the group's MEDIAN-lane cell (one lane
-            extract — robust against RK-midpoint lon-crossers, which
-            would skew a min-reduce by a whole column) and scans the
-            windows of the base cell and its +-1-longitude-crossed
-            neighbours — branch-free.  Residue (median itself crossed,
-            drift beyond one column, span overflow) goes through ONE
-            lax.cond into an ascending min-unserved sweep."""
+            One anchored window set per group, centered on the
+            MEDIAN-lane cell (one lane extract) and wide enough for
+            the group span plus one longitude-cell crossing; the rare
+            residue (dateline margin reps, span overflow, unsorted
+            input) goes to the XLA fallback tiers — an in-kernel
+            value-carrying lax.cond refinement would spill the serve
+            state to VMEM and cost more than it saves."""
             amaxw = slabS // WIN - KW
             B = d[0, WIN // 2]
-            Am = jnp.clip((B - ox) // WIN, 0, amaxw)
-            A0 = jnp.clip(B // WIN, 0, amaxw)
-            Ae = jnp.clip((B + ox) // WIN, 0, amaxw)
-            Aee = jnp.clip((B + 2 * ox) // WIN, 0, amaxw)
-            vlo, hlo = gather3(d, (Am, A0, Ae))
-            vhi, hhi = gather3(d + ox, (A0, Ae, Aee))
-            # have-masks as f32 0/1: i1 vector carries fail Mosaic's
-            # scf.if legalization
-            st = (vlo, vhi, hlo.astype(f32), hhi.astype(f32))
+            A0 = jnp.clip((B - KW * (WIN // 2)) // WIN, 0, amaxw)
+            return gather_win(A0, d)
 
-            def do_pass(st, Aw, AEw):
-                vlo, vhi, hlo, hhi = st
-                v, hit = gather_win(Aw, d - Aw * WIN)
-                vlo = jnp.where(hit & (hlo == 0), v, vlo)
-                hlo = jnp.maximum(hlo, hit.astype(f32))
-                v, hit = gather_win(AEw, d + ox - AEw * WIN)
-                vhi = jnp.where(hit & (hhi == 0), v, vhi)
-                hhi = jnp.maximum(hhi, hit.astype(f32))
-                return (vlo, vhi, hlo, hhi)
-
-            def refine(st):
-                for ps in range(1, NPASS):
-                    done = st[2] * st[3]
-                    Araw = jnp.min(jnp.where(done > 0,
-                                             jnp.int32(2 ** 30), d))
-                    Aw = jnp.clip(Araw // WIN, 0, amaxw)
-                    AEw = jnp.clip((Araw + ox) // WIN, 0, amaxw)
-                    st = do_pass(st, Aw, AEw)
-                return st
-
-            nbad = jnp.max(1.0 - st[2] * st[3])
-            st = jax.lax.cond(nbad > 0, refine, lambda x: x, st)
-            return st[0], st[1], (st[2] > 0) & (st[3] > 0)
-
-        def trilerp(vlo, vhi, wx, wy, wz):
+        def trilerp(cv, wx, wy, wz):
             """[8, WIN] (u0,v0,w0,u1,v1,w1,t0,t1) at the parcel point
-            from the two corner-block gathers — row co*8+f with
-            co = dy*2+dz; arithmetic order of ops.interp.interp_3d."""
+            from the corner-stencil gather — row (dy*4+dz*2+dx)*8+f;
+            arithmetic order of ops.interp.interp_3d."""
             def L(w, a, b):
                 return w * (a - b) + b
 
-            def co(blk, dy, dz):
-                k = dy * 2 + dz
-                return blk[k * 8:(k + 1) * 8]
-            a00 = L(wz, co(vlo, 0, 0), co(vlo, 0, 1))
-            a01 = L(wz, co(vlo, 1, 0), co(vlo, 1, 1))
-            a10 = L(wz, co(vhi, 0, 0), co(vhi, 0, 1))
-            a11 = L(wz, co(vhi, 1, 0), co(vhi, 1, 1))
+            def co(dx, dy, dz):
+                k = dy * 4 + dz * 2 + dx
+                return cv[k * 8:(k + 1) * 8]
+            a00 = L(wz, co(0, 0, 0), co(0, 0, 1))
+            a01 = L(wz, co(0, 1, 0), co(0, 1, 1))
+            a10 = L(wz, co(1, 0, 0), co(1, 0, 1))
+            a11 = L(wz, co(1, 1, 0), co(1, 1, 1))
             a0 = L(wy, a00, a01)
             a1 = L(wy, a10, a11)
             return L(wx, a0, a1)
 
-        def slab_coord(idx):
-            """Table->slab coordinate with validity-checked cyclic
-            unwrap: a representation is usable only if the full corner
-            stencil lies inside the slab's VALID data (margins yes,
-            zero padding no).  Unservable -> exact XLA fallback."""
-            vend = jnp.minimum(ntotv - start, slabS) - (ox + 1)
-            d0 = idx + wrap - start
+        def slab_coord(lane, ix):
+            """Table lane -> slab coordinate with validity-checked
+            dateline unwrap (the +-nxc-column representations land on
+            the per-level cyclic margin columns).  Unservable -> exact
+            XLA fallback."""
+            vend = jnp.minimum(nlv - start, slabS) - 2
+            d0 = lane - start
 
             def okd(x):
                 return (x >= 0) & (x <= vend)
 
             if lon_periodic:
-                dp = d0 + ncellc
-                dm = d0 - ncellc
+                # east candidate only while it maps into the east
+                # margin columns (ix <= 1); west only onto the west
+                # margin column (ix == nxc-1)
+                dp = d0 + oxl
+                dm = d0 - oxl
+                okp = okd(dp) & (ix <= 1)
+                okm = okd(dm) & (ix >= NXC - 1)
                 d = jnp.where(okd(d0), d0,
-                              jnp.where(okd(dp), dp, dm))
-            else:
-                d = d0
-            return d, okd(d)
+                              jnp.where(okp, dp,
+                                        jnp.where(okm, dm, d0)))
+                return d, okd(d0) | okp | okm
+            return d0, okd(d0)
 
         def dx2coord(dxm, lat):
             """fp-op order of ops.thermo.dx2coord (f32)."""
@@ -463,11 +476,11 @@ def _kernel(s_ref, pari_ref, in_ref, parf_ref, latC_ref,
 
         for uu in range(U):
             sl = slice(uu * WIN, (uu + 1) * WIN)
-            lon = in_ref[0:1, sl]
-            lat = in_ref[1:2, sl]
-            p = in_ref[2:3, sl]
-            dtp = in_ref[3:4, sl]
-            wt0 = in_ref[4:5, sl]
+            lon = lon_ref[0:1, sl]
+            lat = lat_ref[0:1, sl]
+            p = pp_ref[0:1, sl]
+            dtp = dt_ref[0:1, sl]
+            wt0 = wt_ref[0:1, sl]
 
             ok = jnp.ones((1, WIN), jnp.bool_)
             um = jnp.zeros((1, WIN), f32)
@@ -486,11 +499,11 @@ def _kernel(s_ref, pari_ref, in_ref, parf_ref, latC_ref,
                     xlat = lat + dy2coord(dts * vprev)
                     xp = p + dts * wprev
                 wt = wt0 - (f32(frac) * dtp) * inv_tden
-                idx, wx, wy, wz, okl = locate(xlon, xlat, xp)
-                d, okd = slab_coord(idx)
-                vlo, vhi, oks = serve(jnp.where(okd, d, 0))
+                lane, ixv, wx, wy, wz, okl = locate(xlon, xlat, xp)
+                d, okd = slab_coord(lane, ixv)
+                cv, oks = serve(jnp.where(okd, d, 0))
                 oks = oks & okd
-                f = trilerp(vlo, vhi, wx, wy, wz)  # [8, WIN]
+                f = trilerp(cv, wx, wy, wz)        # [8, WIN]
                 ui = wt * (f[0:1] - f[3:4]) + f[3:4]
                 vi = wt * (f[1:2] - f[4:5]) + f[4:5]
                 wi = wt * (f[2:3] - f[5:6]) + f[5:6]
@@ -508,11 +521,11 @@ def _kernel(s_ref, pari_ref, in_ref, parf_ref, latC_ref,
 
             # final-position serve: meso sigma + temperature
             wtf = wt0 - dtp * inv_tden
-            idxf, wxf, wyf, wzf, oklf = locate(nlon, nlat, np_)
-            df, okdf = slab_coord(idxf)
-            vlof, vhif, oksf = serve(jnp.where(okdf, df, 0))
+            lanef, ixf, wxf, wyf, wzf, oklf = locate(nlon, nlat, np_)
+            df, okdf = slab_coord(lanef, ixf)
+            cvf, oksf = serve(jnp.where(okdf, df, 0))
             oksf = oksf & okdf
-            ff = trilerp(vlof, vhif, wxf, wyf, wzf)
+            ff = trilerp(cvf, wxf, wyf, wzf)
             Tf = wtf * (ff[6:7] - ff[7:8]) + ff[7:8]
             # 16-point subgrid sigma, reference summation order
             # (corner-major, per corner u0 then u1; c:4280-4304)
@@ -523,11 +536,10 @@ def _kernel(s_ref, pari_ref, in_ref, parf_ref, latC_ref,
                 for dx in (0, 1):
                     for dy in (0, 1):
                         for dz in (0, 1):
-                            blk = vlof if dx == 0 else vhif
-                            r0 = (dy * 2 + dz) * 8
+                            r0 = (dy * 4 + dz * 2 + dx) * 8
                             for sn in (0, 1):
                                 rr = r0 + comp + 3 * sn
-                                val = blk[rr:rr + 1]
+                                val = cvf[rr:rr + 1]
                                 mean = mean + val
                                 msq = msq + val * val
                 mean = mean * f32(1.0 / 16.0)
@@ -562,11 +574,17 @@ def _xla_locate(pack: CellPack, parf, xlon, xlat, xp):
                   0, pack.nx - 2)
     latv = pack.latFlat[0, :pack.ny]
     pv = pack.pFlat[0, :pack.npl]
-    if pack.lat_asc:
-        iy = jnp.sum(latv <= lat2[:, None], axis=-1).astype(jnp.int32)
+    if pack.lat_reg:
+        lat0 = pack.latFlat[0, 0]
+        dlat = pack.latFlat[0, 1] - pack.latFlat[0, 0]
+        iy = jnp.clip(jnp.floor((lat2 - lat0) / dlat)
+                      .astype(jnp.int32), 0, pack.ny - 2)
+    elif pack.lat_asc:
+        iy = jnp.clip(jnp.sum(latv <= lat2[:, None], axis=-1)
+                      .astype(jnp.int32) - 1, 0, pack.ny - 2)
     else:
-        iy = jnp.sum(latv > lat2[:, None], axis=-1).astype(jnp.int32)
-    iy = jnp.clip(iy - 1, 0, pack.ny - 2)
+        iy = jnp.clip(jnp.sum(latv > lat2[:, None], axis=-1)
+                      .astype(jnp.int32) - 1, 0, pack.ny - 2)
     if pack.p_asc:
         iz = jnp.sum(pv <= xp[:, None], axis=-1).astype(jnp.int32)
     else:
@@ -581,17 +599,19 @@ def _xla_locate(pack: CellPack, parf, xlon, xlat, xp):
     p0 = jnp.take(pack.pFlat[0], iz)
     p1 = jnp.take(pack.pFlat[0], iz + 1)
     wz = (p1 - xp) / (p1 - p0)
-    return (ix * pack.ny + iy) * pack.npl + iz, wx, wy, wz
+    lane = (iz * pack.nxT + ix + 1) * pack.ny + iy
+    return lane, wx, wy, wz
 
 
-def _xla_serve(pack: CellPack, idx):
-    """8 corner rows [n, 8] from the row-major mirror."""
-    oy = pack.npl
-    ox = pack.ny * pack.npl
-    b = idx + pack.wrap
-    return [jnp.take(pack.cellR, b + ck, axis=0)
-            for ck in (0, 1, oy, oy + 1, ox, ox + 1, ox + oy,
-                       ox + oy + 1)]
+def _xla_serve(pack: CellPack, lane):
+    """8 corner rows [n, 8] from the row-major mirror, corner order
+    (dx,dy,dz) lexicographic (z-major lanes: dy=+1, dx=+ny,
+    dz=+nxT*ny)."""
+    oz = pack.nxT * pack.ny
+    ny = pack.ny
+    return [jnp.take(pack.cellR, lane + dx * ny + dy + dz * oz,
+                     axis=0)
+            for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
 
 
 def _xla_trilerp(vals, wx, wy, wz):
@@ -677,9 +697,9 @@ def _params(pack: CellPack, met01: Met):
     parf = jnp.stack([lon0, dlon, lons[0].astype(jnp.float32),
                       lons[-1].astype(jnp.float32), lat_lo, lat_hi,
                       inv_tden])
-    ncellc = pack.nxc * pack.ny * pack.npl
-    pari = jnp.asarray([ncellc, pack.wrap, pack.ntot + 2 * pack.wrap],
-                       jnp.int32)
+    pari = jnp.asarray(
+        [pack.nxc * pack.ny, pack.npl * pack.nxT * pack.ny],
+        jnp.int32)
     return parf, pari
 
 
@@ -712,23 +732,28 @@ def _compact_bad_groups(ok, cap_g):
     jax.jit,
     static_argnames=("nstage", "CP", "slabS", "KW", "interpret",
                      "pack_static"))
-def _launch(cellT, latC, latF, pC, pF, s, pari, parf, xin,
+def _launch(cellT, latC, latF, pC, pF, s, pari, parf, xrows,
             nstage, CP, slabS, KW, interpret, pack_static):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     (nx, ny, npl, LC, PC, lat_asc, p_asc, lon_periodic,
-     cartesian) = pack_static
-    npad = xin.shape[1]
+     cartesian, nxT, nxc, lat_reg) = pack_static
+    npad = xrows[0].shape[0]
     nchunk = npad // CP
     GB = CP // (U * WIN)
 
+    def inrow(a):
+        # zero-copy [1, npad] view of a padded [npad] array (block
+        # sublane 1 is legal because it equals the array dimension)
+        return a.reshape(1, npad)
+
+    row_spec = pl.BlockSpec((1, U * WIN),
+                            lambda c, g, *_: (c * 0, c * GB + g))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nchunk, GB),
-        in_specs=[
-            pl.BlockSpec((8, U * WIN), lambda c, g, *_: (c * 0,
-                                                         c * GB + g)),
+        in_specs=[row_spec] * 5 + [
             pl.BlockSpec((8, WIN), lambda c, g, *_: (c * 0, c * 0)),
             pl.BlockSpec(latC.shape,
                          lambda c, g, *_: (c * 0, c * 0)),
@@ -748,7 +773,8 @@ def _launch(cellT, latC, latF, pC, pF, s, pari, parf, xin,
     kern = functools.partial(
         _kernel, GB=GB, slabS=slabS, KW=KW, nstage=nstage, ny=ny,
         npl=npl, LC=LC, PC=PC, lat_asc=lat_asc, p_asc=p_asc,
-        lon_periodic=lon_periodic, cartesian=cartesian, nx=nx)
+        lon_periodic=lon_periodic, cartesian=cartesian, nx=nx,
+        NXT=nxT, NXC=nxc, lat_reg=lat_reg)
     parfv = jnp.broadcast_to(
         jnp.pad(parf.astype(jnp.float32), (0, 8 - parf.shape[0]))
         [:, None], (8, WIN))
@@ -756,7 +782,8 @@ def _launch(cellT, latC, latF, pC, pF, s, pari, parf, xin,
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
         interpret=interpret,
-    )(s, pari, xin, parfv, latC, latF, pC, pF, cellT)
+    )(s, pari, *[inrow(a) for a in xrows], parfv, latC, latF, pC,
+      pF, cellT)
 
 
 def _auto_interpret() -> bool:
@@ -780,26 +807,29 @@ def advect_all(pack: CellPack, met01: Met, nstage: int,
     npad = nchunk * CP
     parf, pari = _params(pack, met01)
 
-    xin = jnp.zeros((8, npad), jnp.float32)
-    for r, a in enumerate((lon, lat, p, dtp, wt0)):
-        xin = xin.at[r, :n].set(a.astype(jnp.float32))
-    if npad != n:   # replicate a live parcel into the padding
-        xin = xin.at[:, n:].set(xin[:, n - 1:n])
+    def prep(a):
+        a = a.astype(jnp.float32)
+        if npad != n:   # replicate the last live parcel as padding
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[n - 1:n], (npad - n,))])
+        return a
 
-    # slab window starts from the chunk-boundary parcels' cells
-    bidx, _, _, _ = _xla_locate(pack, parf, xin[0, ::CP],
-                                xin[1, ::CP], xin[2, ::CP])
-    ox = pack.ny * pack.npl
+    xrows = [prep(a) for a in (lon, lat, p, dtp, wt0)]
+
+    # slab window starts from the chunk-boundary parcels' lanes
+    blane, _, _, _ = _xla_locate(pack, parf, xrows[0][::CP],
+                                 xrows[1][::CP], xrows[2][::CP])
     ntotp = pack.cellT.shape[1]
-    s = (jnp.clip(bidx + pack.wrap - ox - 2048, 0, ntotp - slabS)
+    s = (jnp.clip(blane - 2 * pack.ny - 1024, 0, ntotp - slabS)
          // WIN).astype(jnp.int32)
 
     pack_static = (pack.nx, pack.ny, pack.npl,
                    -(-pack.ny // 8), -(-pack.npl // 8),
                    pack.lat_asc, pack.p_asc,
-                   pack.lon_periodic, pack.cartesian)
+                   pack.lon_periodic, pack.cartesian,
+                   pack.nxT, pack.nxc, pack.lat_reg)
     out = _launch(pack.cellT, pack.latC, pack.latFlat, pack.pC,
-                  pack.pFlat, s, pari, parf, xin, nstage, CP,
+                  pack.pFlat, s, pari, parf, xrows, nstage, CP,
                   slabS, KW, interpret, pack_static)
 
     rows = [out[r, :n] for r in range(7)]
@@ -839,7 +869,9 @@ def advect_all(pack: CellPack, met01: Met, nstage: int,
         # parcels with NaN so nothing downstream can silently use
         # zeroed winds; the driver detects served_min below the hard
         # floor and aborts loudly (reference analog: the hard NP
-        # overflow abort, mptrac.c:2281)
+        # overflow abort, mptrac.c:2281).  (A full-ensemble lax.map
+        # recompute here both crashes the TPU runtime inside lax.scan
+        # and reserves a padded n x 16 f32 HLO temp = 6 GB at 100M.)
         return tuple(jnp.where(ok, r, jnp.float32(jnp.nan))
                      for r in rows_t)
 

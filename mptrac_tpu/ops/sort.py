@@ -25,17 +25,20 @@ from mptrac_tpu.types import Atm, Cache, Met
 
 
 def sort_key(met: Met, atm: Atm) -> jnp.ndarray:
-    """Met grid-box index per parcel (reference c:5770-5776:
-    idx = (ix * ny + iy) * np + iz).
+    """Met grid-box index per parcel, Z-MAJOR: (iz*nx + ix)*ny + iy.
 
-    Uses the SAME locator as the interpolation kernels (locate_3d,
-    including the longitude wrap into the grid convention) so the
-    sorted order matches the slab kernel's cell indices exactly."""
+    The reference sorts x-major (c:5770-5776); the TPU rebuild sorts
+    LEVEL-major instead: parcels on one pressure level drift rigidly
+    (vertical cell-crossing between sorts is ~0), so vertical wind
+    shear does not tear sorted groups apart — the fused RK kernel's
+    locality survives ~10x more steps per sort.  Uses the SAME
+    locator as the interpolation kernels so the sorted order matches
+    the kernel's lane order exactly."""
+    lons = met.lon[0] if met.lon.ndim == 2 else met.lon
     lats = met.lat[0] if met.lat.ndim == 2 else met.lat
-    ps = met.p[0] if met.p.ndim == 2 else met.p
     loc = interp.locate_3d(met, atm.lon, atm.lat, atm.p)
-    ny, npl = lats.shape[0], ps.shape[0]
-    key = (loc.ix * ny + loc.iy) * npl + loc.iz
+    nx, ny = lons.shape[0], lats.shape[0]
+    key = (loc.iz * nx + loc.ix) * ny + loc.iy
     # keep padding at the end
     return jnp.where(atm.mask, key, jnp.iinfo(jnp.int32).max)
 
@@ -57,10 +60,12 @@ def _take_f32_pairs(cols, perm):
     guards it: non-banded permutations (initial sort, resume) take
     the plain-gather branch, which is correct for ANY permutation."""
     import jax as _jax
-    if _jax.default_backend() != "tpu":
+    n = perm.shape[0]
+    # the banded kernel only pays off (and is only well-conditioned)
+    # for large ensembles with a band far narrower than n
+    if _jax.default_backend() != "tpu" or n < 16 * BAND_MAX:
         return [jnp.take(c, perm) for c in cols]
     from mptrac_tpu.ops.slab_interp import permute_f32_cols
-    n = perm.shape[0]
     band = jnp.max(jnp.abs(perm - jnp.arange(n, dtype=perm.dtype)))
 
     def banded(cols_t):
