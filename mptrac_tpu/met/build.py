@@ -64,7 +64,10 @@ def read_met(filename: str, ctl: Ctl, clim=None, sel=None) -> Met:
     f2: Dict[str, np.ndarray] = raw["fields2d"]
     f3: Dict[str, np.ndarray] = raw["fields3d"]
 
-    if p[0] < p[-1]:
+    if p[0] < p[-1] and not (ctl.met_type in (0, 6)
+                             and ctl.met_vert_coord != 0):
+        # Model-level input (met_vert_coord != 0): the level variable
+        # is an index; the pressure axis comes from ml2pl below.
         raise ValueError("Pressure levels must be descending!")
 
     if ctl.met_type not in (0, 6):

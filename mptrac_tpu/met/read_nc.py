@@ -39,6 +39,19 @@ def time_from_filename(filename: str, offset: int = 16) -> float:
     return time2jsec(year, mon, day, hour)
 
 
+def time_from_clams_filename(filename: str, century: int = 20) -> float:
+    """Decode time from CLaMS ``..._YYMMDDHH.nc`` names (reference
+    read_met_nc_grid CLaMS branch, c:9352-9369; the century comes from
+    the sign of the file's time variable)."""
+    base = filename[-11:-3]
+    year = century * 100 + int(base[0:2])
+    mon, day, hour = int(base[2:4]), int(base[4:6]), int(base[6:8])
+    if not (1900 <= year <= 2100 and 1 <= mon <= 12 and 1 <= day <= 31
+            and 0 <= hour <= 23):
+        raise ValueError(f"Cannot read time from filename: {filename}")
+    return time2jsec(year, mon, day, hour)
+
+
 def get_met_filename(ctl: Ctl, t: float, direct: int) -> str:
     """Template the meteo filename for time t (reference
     get_met_filename, c:2619): round t down (direct=-1) or up (+1) to
@@ -92,13 +105,20 @@ def _read_var(nc, names: Sequence[str], scale: float = 1.0,
     return data
 
 
-def _to_xy(data: np.ndarray) -> np.ndarray:
-    """(time, [lev,] lat, lon) -> ([lev,] lon, lat) -> final layout.
+def _to_xy(data: np.ndarray, convention: int = 0) -> np.ndarray:
+    """File layout -> final (lon, lat[, lev]) layout.
 
-    2-D: (1, ny, nx) -> (nx, ny); 3-D: (1, nl, ny, nx) -> (nx, ny, nl).
+    Convention 0 (MPTRAC, reference read_met_nc_3d c:10264): file dims
+    (time, [lev,] lat, lon); 2-D (1, ny, nx) -> (nx, ny); 3-D
+    (1, nl, ny, nx) -> (nx, ny, nl).  Convention 1 (CLaMS, c:10283):
+    file dims (time, lon, lat[, lev]) — already the final ordering.
     """
     data = np.squeeze(data, axis=0) if data.shape[0] == 1 and data.ndim in (
         3, 4) else data
+    if convention != 0:
+        if data.ndim in (2, 3):
+            return np.ascontiguousarray(data).astype(np.float32)
+        raise ValueError(f"Unexpected variable rank: {data.shape}")
     if data.ndim == 2:       # (ny, nx)
         return np.ascontiguousarray(data.T).astype(np.float32)
     if data.ndim == 3:       # (nl, ny, nx)
@@ -175,7 +195,21 @@ def read_met_nc(filename: str, ctl: Ctl, sel=None):
                           np.asarray(lat_axis, np.float64))
     try:
         out: Dict[str, object] = {}
-        out["time"] = time_from_filename(filename)
+        if ctl.met_clams:
+            # CLaMS names carry only YYMMDDHH; the century comes from
+            # the sign of the file's time value (reference c:9355).
+            rtime = 0.0
+            if "time" in nc.variables:
+                rtime = float(np.array(
+                    nc.variables["time"][:], np.float64).ravel()[0])
+            out["time"] = time_from_clams_filename(
+                filename, 19 if rtime < 0 else 20)
+        else:
+            out["time"] = time_from_filename(filename)
+        conv = ctl.met_convention
+
+        def to_xy(d):
+            return _to_xy(d, conv)
 
         v = nc.variables
         if ctl.met_coord_type == 0:
@@ -206,18 +240,27 @@ def read_met_nc(filename: str, ctl: Ctl, sel=None):
             ps = _read_var(nc, ["ps", "PS", "sp", "SP"], 0.01)
         if ps is None:
             ps = np.full((1, lat.size, lon.size), p[0])
-        f2["ps"] = _to_xy(ps)
+        f2["ps"] = to_xy(ps)
 
-        zs = _read_var(nc, ["z", "Z"], 1.0 / (1000.0 * G0))
-        if zs is None:
-            zs = _read_var(nc, ["zm", "ZM"],
-                           1e-3 / G0 if ctl.met_gp2z else 1e-3)
-        f2["zs"] = _to_xy(zs) if zs is not None else np.zeros(
-            (lon.size, lat.size), np.float32)
+        if ctl.met_clams:
+            # CLaMS: surface height = lowest level of the 3-D
+            # geopotential (reference read_met_nc_surface, c:9544-9560)
+            g = _read_var(nc, ["gph", "GPH"], 1e-3 / G0)
+            if g is None:
+                raise ValueError(
+                    f"Cannot read geopotential height from {filename}")
+            f2["zs"] = np.ascontiguousarray(to_xy(g)[..., 0])
+        else:
+            zs = _read_var(nc, ["z", "Z"], 1.0 / (1000.0 * G0))
+            if zs is None:
+                zs = _read_var(nc, ["zm", "ZM"],
+                               1e-3 / G0 if ctl.met_gp2z else 1e-3)
+            f2["zs"] = to_xy(zs) if zs is not None else np.zeros(
+                (lon.size, lat.size), np.float32)
 
         def surf(name, aliases, scale=1.0, default=0.0):
             d = _read_var(nc, aliases, scale)
-            f2[name] = (_to_xy(d) if d is not None
+            f2[name] = (to_xy(d) if d is not None
                         else np.full((lon.size, lat.size), default,
                                      np.float32))
 
@@ -251,7 +294,7 @@ def read_met_nc(filename: str, ctl: Ctl, sel=None):
                 f3[name] = np.full((lon.size, lat.size, p.size), default,
                                    np.float32)
             else:
-                f3[name] = _to_xy(d)
+                f3[name] = to_xy(d)
 
         lev("t", ["t", "T", "temp", "TEMP"], required=True)
         lev("u", ["u", "U"], required=True)
@@ -287,7 +330,17 @@ def read_met_nc(filename: str, ctl: Ctl, sel=None):
             f3["wl"] = f3["w"].copy()
             npl_ml = p.size
             if ctl.met_vert_coord == 1:
-                lev("pl", ["pl", "PL", "pressure", "PRESSURE"], 0.01)
+                # Pa-scaled aliases first, then CLaMS "PRESS" already
+                # in hPa (reference c:9749-9756)
+                d = _read_var(nc, ["pl", "PL", "pressure", "PRESSURE"],
+                              0.01)
+                if d is None:
+                    d = _read_var(nc, ["press", "PRESS"], 1.0)
+                if d is None:
+                    raise ValueError(
+                        f"Cannot read model-level pressure from "
+                        f"{filename}")
+                f3["pl"] = to_xy(d)
         out["npl_ml"] = npl_ml
 
         # Remaining 2-D diagnostics are filled by preprocessing

@@ -163,6 +163,15 @@ def theta(p, t):
     return t * (1000.0 / p) ** 0.286
 
 
+def zeta(ps, p, t):
+    """Hybrid zeta coordinate [K] (h:2083): potential temperature
+    tapered by a sine ramp below sigma = 0.3."""
+    sig = p / ps
+    ramp = jnp.where(sig <= 0.3, 1.0,
+                     jnp.sin(jnp.pi / 2.0 * (1.0 - sig) / (1.0 - 0.3)))
+    return ramp * theta(p, t)
+
+
 def tvirt(t, h2o):
     """Virtual temperature [K] (h:1989)."""
     return t * (1.0 + (1.0 - EPS) * jnp.maximum(h2o, 0.1e-6))

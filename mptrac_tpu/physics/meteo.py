@@ -151,6 +151,13 @@ def module_meteo(ctl: Ctl, cache: Cache, clim: Clim, met01: Met,
         q["tvirt"] = thermo.tvirt(t, h2o)
     if "lapse" in names:
         q["lapse"] = _lapse_rate(t, h2o)
+    if "zeta_d" in names:
+        ps_v = q.get("ps")
+        if ps_v is None:
+            ps_v = (sfc_vals["ps"] if "ps" in sfc_vals
+                    else interp.interp_time_2d(met01, "ps", atm.time,
+                                               loc()))
+        q["zeta_d"] = thermo.zeta(ps_v, p, t)
     if "tdew" in names:
         q["tdew"] = thermo.tdew(p, h2o)
     if "tice" in names:
