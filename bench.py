@@ -27,6 +27,9 @@ BASELINE_PARCEL_STEPS_S = 8.6e6
 
 
 def main():
+    # stdout carries exactly ONE JSON line for the driver; route the
+    # framework's leveled log (LOGLEV) off unless explicitly requested
+    os.environ.setdefault("LOGLEV", "0")
     ap = argparse.ArgumentParser()
     ap.add_argument("--np", type=int, dest="n_parcels",
                     default=int(os.environ.get("BENCH_NP", 100_000_000)))

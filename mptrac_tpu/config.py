@@ -15,12 +15,11 @@ graph.
 from __future__ import annotations
 
 import dataclasses
-import logging
 import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
-log = logging.getLogger("mptrac_tpu")
+from mptrac_tpu.utils.log import LOG, WARN
 
 # Quantity registry: name -> (longname, unit)
 # (reference SET_QNT calls, mptrac.c:6600-6711)
@@ -201,8 +200,25 @@ class CtlFile:
                 raise ValueError(f"Missing control variable {name}!")
             val = default
         self.used[keys[0]] = val
-        log.debug("%s = %s", keys[0], val)
+        # ctl echo (reference scan_ctl prints every key at LOG level 1)
+        LOG(1, "%s = %s", keys[0].upper(), val)
         return val
+
+    def unknown_file_keys(self):
+        """File keys that no scan ever consumed (typo detection).
+
+        Array keys match their scanned ``name[idx]``/``name[*]`` forms;
+        a bare scan of ``name`` also covers indexed file spellings."""
+        out = []
+        for k in self._file:
+            if k in self.used:
+                continue
+            base = k.split("[", 1)[0]
+            if base in self.used or f"{base}[*]" in self.used or any(
+                    u.split("[", 1)[0] == base for u in self.used):
+                continue
+            out.append(k)
+        return out
 
     def scan_float(self, name, arridx=-1, default=None) -> float:
         return float(self.scan(name, arridx, default))
@@ -239,7 +255,7 @@ class Ctl:
 
     # Time stepping
     direction: int = 1
-    t_start: float = 0.0
+    t_start: float = -1e100          # < -1e99: derive from atm times
     t_stop: float = 1e100
     dt_mod: float = 180.0
 
@@ -560,6 +576,7 @@ def read_ctl(filename: Optional[str], args: Sequence[str] = ()) -> Ctl:
     kw["met_vert_coord"] = s.scan_int("MET_VERT_COORD", -1, "0")
     kw["met_gp2z"] = s.scan_int("MET_GP2Z", -1, "0")
     kw["direction"] = s.scan_int("DIRECTION", -1, "1")
+    kw["t_start"] = s.scan_float("T_START", -1, "-1e100")
     kw["t_stop"] = s.scan_float("T_STOP", -1, "1e100")
     kw["dt_mod"] = s.scan_float("DT_MOD", -1, "180")
     kw["metbase"] = s.scan_str("METBASE", -1, "-")
@@ -837,5 +854,12 @@ def read_ctl(filename: Optional[str], args: Sequence[str] = ()) -> Ctl:
         kw["dd_subdomains_zonal"] = s.scan_int("DD_SUBDOMAINS_ZONAL", -1, "1")
     kw["dd_halos_size"] = s.scan_int("DD_HALOS_SIZE", -1, "1")
     kw["dd_sort_dt"] = s.scan_float("DD_SORT_DT", -1, "1800")
+
+    # Unknown-key detection (framework extension; the reference
+    # silently ignores misspelled ctl-file keys).  Only file keys are
+    # checked — CLI tails legitimately carry driver arguments
+    # (ATM_BASENAME etc.) consumed outside read_ctl.
+    for k in s.unknown_file_keys():
+        WARN("Unknown control parameter in %s: %s", filename, k.upper())
 
     return Ctl(**kw)

@@ -113,7 +113,31 @@ def read_met(filename: str, ctl: Ctl, clim=None, sel=None) -> Met:
     if raw.get("npl_ml", 0) and ctl.advect_vert_coord == 1:
         process.monotonize(ctl, raw["hybrid"], f3)
 
+    _log_ranges(filename, raw, lon, lat, p, f2, f3)
     return _to_met(ctl, raw, lon, lat, p, f2, f3)
+
+
+def _log_ranges(filename, raw, lon, lat, p, f2, f3):
+    """Met data-range logging at LOGLEV >= 2 (reference read_met grid
+    and variable logs, c:9448-9456 and the per-variable LOG(2) lines of
+    read_met_nc_2d/3d, c:12110-12182-style ranges)."""
+    from mptrac_tpu.utils.log import LOG, get_level
+    if get_level() < 2:
+        return
+    LOG(2, "Read meteo data: %s", filename)
+    LOG(2, "Time: %.2f", float(raw["time"]))
+    LOG(2, "Grid: %d x %d x %d "
+        "(lon %g ... %g, lat %g ... %g, p %g ... %g hPa)",
+        lon.size, lat.size, p.size, lon[0], lon[-1], lat[0], lat[-1],
+        p[0], p[-1])
+    for name in ("t", "u", "v", "w", "h2o", "o3"):
+        a = f3.get(name)
+        if a is not None and np.isfinite(a).any():
+            LOG(2, "%s range: %g ... %g", name,
+                np.nanmin(a), np.nanmax(a))
+    ps = f2.get("ps")
+    if ps is not None and np.isfinite(ps).any():
+        LOG(2, "ps range: %g ... %g hPa", np.nanmin(ps), np.nanmax(ps))
 
 
 def _to_met(ctl: Ctl, raw, lon, lat, p, f2, f3) -> Met:

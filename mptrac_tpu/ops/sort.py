@@ -49,6 +49,13 @@ def sort_key(met: Met, atm: Atm) -> jnp.ndarray:
 #: serve it and would silently zero state (round-4 advisor finding)
 BAND_MAX = 4096
 
+#: above this ensemble size the stacked-table banded kernel's
+#: temporaries (full [8, n] table copy + padded [nch, 16, L] output)
+#: exceed HBM at 100M parcels; plain per-column takes run in bounded
+#: memory because the donated input buffers are reused column by
+#: column
+PLAIN_N = 1 << 26
+
 
 def _take_f32_pairs(cols, perm):
     """Permute the f32 state columns.
@@ -63,7 +70,8 @@ def _take_f32_pairs(cols, perm):
     n = perm.shape[0]
     # the banded kernel only pays off (and is only well-conditioned)
     # for large ensembles with a band far narrower than n
-    if _jax.default_backend() != "tpu" or n < 16 * BAND_MAX:
+    if (_jax.default_backend() != "tpu" or n < 16 * BAND_MAX
+            or n >= PLAIN_N):
         return [jnp.take(c, perm) for c in cols]
     from mptrac_tpu.ops.slab_interp import permute_f32_cols
     band = jnp.max(jnp.abs(perm - jnp.arange(n, dtype=perm.dtype)))

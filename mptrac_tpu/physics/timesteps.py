@@ -44,11 +44,12 @@ def init_time_range(ctl: Ctl, atm_time) -> Ctl:
     updated Ctl."""
     import numpy as np
     times = np.asarray(atm_time)
+    explicit = ctl.t_start > -1e99
     if ctl.direction == 1:
-        t_start = float(times.min())
+        t_start = ctl.t_start if explicit else float(times.min())
         t_stop = float(times.max()) if ctl.t_stop > 1e99 else ctl.t_stop
     else:
-        t_start = float(times.max())
+        t_start = ctl.t_start if explicit else float(times.max())
         t_stop = float(times.min()) if ctl.t_stop > 1e99 else ctl.t_stop
     if ctl.direction * (t_stop - t_start) <= 0:
         raise ValueError("Nothing to do! Check T_STOP and DIRECTION!")

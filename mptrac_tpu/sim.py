@@ -378,6 +378,10 @@ class Simulation:
                 print(f"  t={t:.0f}", flush=True)
             i += 1
         self.close()
+        # End-of-run timer table (reference PRINT_TIMERS, h:2255)
+        from mptrac_tpu.utils.log import get_level
+        if get_level() >= 1:
+            self.timers.report()
         return self.atm
 
     def write_output(self, t: float):
