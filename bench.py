@@ -131,7 +131,10 @@ def main():
                 print("\n".join(keep)[:6000], file=sys.stderr,
                       flush=True)
             args.n_parcels //= 2
-            phase(f"OOM — retrying at {args.n_parcels} parcels")
+            args._oom_retries = attempt + 1
+            phase(f"OOM — LOUD FAILURE at {args.n_parcels * 2} "
+                  f"parcels; retrying at {args.n_parcels} (the JSON "
+                  "will carry oom_retries)")
     raise SystemExit("bench failed: persistent OOM")
 
 
@@ -219,6 +222,7 @@ def run_flagship(args, g, pipeline, jnp, jax, phase):
         # by the kernel's per-call anchors, so this is rare.
         sort_thresh = float(os.environ.get("BENCH_SORT_THRESH",
                                            "0.995"))
+        t_compile0 = time.time()
         if sort_fn is not None:
             atm, cache = sort_fn(met01, atm, cache)
         a, c = step_block(atm, cache, 0)
@@ -227,6 +231,7 @@ def run_flagship(args, g, pipeline, jnp, jax, phase):
         # one-time runtime costs (allocator growth, executable upload)
         a, c = step_block(a, c, k)
         fetch(a, c)
+        compile_warmup_s = time.time() - t_compile0
         phase("compile + warmup (scan path)")
         nblocks = max(1, args.steps // k)
         block_t = []
@@ -277,6 +282,15 @@ def run_flagship(args, g, pipeline, jnp, jax, phase):
         "vs_baseline": rate / n_dev / BASELINE_PARCEL_STEPS_S,
         "n_parcels": args.n_parcels,
     }
+    if getattr(args, "_oom_retries", 0):
+        result["oom_retries"] = args._oom_retries
+    if args.scan > 1:
+        # compile-diet tracking (VERDICT r4 item 9): trace+lower+
+        # compile + 2 warmup blocks, wall seconds
+        result["compile_warmup_s"] = round(compile_warmup_s, 1)
+        if sort_fn is not None:
+            result["resorts"] = nsorts
+            result["served_min"] = round(served, 4)
     if args.phys != "base":
         result["metric"] += f"_{args.phys}"
     print(json.dumps(result))
@@ -341,11 +355,32 @@ def bench_dd(args):
     atm_d, cache_d, _, _ = dstep(tiles, atm_d, cache_d, t)
     jax.block_until_ready(atm_d.lon)
     t0 = time.time()
+    overflow_tot = lost_tot = 0
     for i in range(args.steps):
-        atm_d, cache_d, _, _ = dstep(tiles, atm_d, cache_d,
-                                     jnp.asarray((i + 2) * 180.0))
+        atm_d, cache_d, ovf, lost = dstep(tiles, atm_d, cache_d,
+                                          jnp.asarray((i + 2) * 180.0))
+        overflow_tot += int(jnp.sum(ovf))
+        lost_tot += int(jnp.sum(lost))
     jax.block_until_ready(atm_d.lon)
-    rate_n = n * args.steps / (time.time() - t0)
+    full_s = (time.time() - t0) / args.steps
+    rate_n = n / full_s
+
+    # --- Decomposition: physics-only step (exchange=False); the delta
+    # --- attributes the all_to_all + bucket/compaction overhead, and
+    # --- its third output counts would-migrate parcels per step
+    pstep = ddm.make_dd_step(ctl_dd, clim, dd, mesh_dd, npmax_dev,
+                             exch_cap=max(64, npmax_dev // 8),
+                             lat_axis=lat_axis, exchange=False)
+    tnext = jnp.asarray((args.steps + 2) * 180.0)
+    a2, c2, mig, _ = pstep(tiles, atm_d, cache_d, tnext)
+    migrated = int(jnp.sum(mig))
+    jax.block_until_ready(a2.lon)
+    t0 = time.time()
+    for i in range(args.steps):
+        a2, c2, _, _ = pstep(tiles, a2, c2,
+                             jnp.asarray((args.steps + 3 + i) * 180.0))
+    jax.block_until_ready(a2.lon)
+    phys_s = (time.time() - t0) / args.steps
 
     result = {
         "metric": "dd_scaling_efficiency",
@@ -354,6 +389,12 @@ def bench_dd(args):
         "vs_baseline": rate_n / (ndev * rate1) / 0.8,
         "rate_1dev": rate1,
         "rate_ndev": rate_n,
+        "step_ms_full": full_s * 1e3,
+        "step_ms_physics": phys_s * 1e3,
+        "step_ms_comm_compact": (full_s - phys_s) * 1e3,
+        "migrated_per_step": migrated,
+        "overflow": overflow_tot,
+        "lost": lost_tot,
     }
     print(json.dumps(result))
     return 0

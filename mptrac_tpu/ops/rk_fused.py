@@ -255,7 +255,7 @@ def _rk_fracs(nstage: int):
 
 def _kernel(s_ref, pari_ref, lon_ref, lat_ref, pp_ref, dt_ref,
             wt_ref, parf_ref, latC_ref, latF_ref, pC_ref, pF_ref,
-            tab_hbm, out_ref, slab, sem, *,
+            tab_hbm, o0, o1, o2, o3, o4, o5, o6, o7, slab, sem, *,
             GB, slabS, KW, nstage, ny, npl, LC, PC, lat_asc, p_asc,
             lon_periodic, cartesian, nx, NXT, NXC, lat_reg):
     import jax.experimental.pallas as pl
@@ -550,10 +550,15 @@ def _kernel(s_ref, pari_ref, lon_ref, lat_ref, pp_ref, dt_ref,
                                       0.0))
             ok = ok & oklf & oksf
             okf = ok.astype(f32)
-            out = jnp.concatenate(
-                [nlon, nlat, np_, sigs[0], sigs[1], sigs[2], Tf, okf],
-                axis=0) * okf
-            out_ref[:, sl] = out
+            # 8 separate [1, npad] outputs instead of one [8, npad]
+            # block: at 100M parcels the monolithic 3 GB buffer plus
+            # its fragmentation was the last ~0.6 GB of the HBM OOM;
+            # separate rows free independently as consumers finish
+            for ref, val in zip(
+                    (o0, o1, o2, o3, o4, o5, o6, o7),
+                    (nlon, nlat, np_, sigs[0], sigs[1], sigs[2], Tf,
+                     okf)):
+                ref[0:1, sl] = val * okf
 
 
 # ------------------------------------------------------- XLA mirror
@@ -763,8 +768,7 @@ def _launch(cellT, latC, latF, pC, pF, s, pari, parf, xrows,
             pl.BlockSpec(pF.shape, lambda c, g, *_: (c * 0, c * 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((8, U * WIN),
-                               lambda c, g, *_: (c * 0, c * GB + g)),
+        out_specs=[row_spec] * 8,
         scratch_shapes=[
             pltpu.VMEM((ROWS, slabS), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -780,7 +784,7 @@ def _launch(cellT, latC, latF, pC, pF, s, pari, parf, xrows,
         [:, None], (8, WIN))
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((1, npad), jnp.float32)] * 8,
         interpret=interpret,
     )(s, pari, *[inrow(a) for a in xrows], parfv, latC, latF, pC,
       pF, cellT)
@@ -832,8 +836,8 @@ def advect_all(pack: CellPack, met01: Met, nstage: int,
                   pack.pFlat, s, pari, parf, xrows, nstage, CP,
                   slabS, KW, interpret, pack_static)
 
-    rows = [out[r, :n] for r in range(7)]
-    ok = out[7, :n] > 0.5
+    rows = [out[r][0, :n] for r in range(7)]
+    ok = out[7][0, :n] > 0.5
     served = jnp.mean(ok.astype(jnp.float32))
     ng = -(-n // WIN)
     badp = jnp.pad(~ok, (0, ng * WIN - n))

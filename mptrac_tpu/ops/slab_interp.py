@@ -48,6 +48,15 @@ import jax.numpy as jnp
 from mptrac_tpu.types import Met
 
 WIN = 128            # lane-gather width (hardware vreg lanes)
+
+#: absolute fallback-repair cap: the exact-recompute buffers scale
+#: as [128, cap] (surface rows) / [64, cap] (corner rows); an
+#: n/32-proportional cap allocates ~3 GB at 100M parcels and was the
+#: last HBM OOM.  1M repairs >= 2x the worst unserved fraction the
+#: driver's served_min re-sort threshold (0.995) permits at 100M;
+#: beyond it the served fraction reports the shortfall and the driver
+#: re-sorts or aborts.
+CAP_MAX = 1 << 20
 U = 8                # groups unrolled per grid step (1024 parcels)
 CHUNK = 2 ** 21      # parcels per outer lax.map slice (SMEM budget)
 SPAN_BULK = 6144     # slab cells budgeted for the chunk's sorted span
@@ -437,6 +446,7 @@ def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3, ncell=None,
     gmid = jnp.clip(nreal // (2 * WIN), 0, ngc - 1)
     medc = jnp.take_along_axis(bmat0[:, :, WIN // 2], gmid[:, None],
                                axis=1)[:, 0].astype(jnp.int32)
+    valid = None
     if ncell is not None and wrap > 0:
         # cyclic unwrap toward the chunk reference cell so dateline
         # crossers land in the wrap-margin copies
@@ -444,6 +454,14 @@ def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3, ncell=None,
         bmat0 = jnp.where(bmat0 - m3 > ncell // 2, bmat0 - ncell,
                           jnp.where(m3 - bmat0 > ncell // 2,
                                     bmat0 + ncell, bmat0))
+        # Unwrapped indices beyond the 2-column wrap margins would
+        # read the zero-padded table tail (or wild anchors would DMA
+        # out of bounds) and could be served zeros with ok=1 (round-4
+        # advisor finding): clamp them in-range and force ok=0 below
+        # so the exact fallback recomputes them.
+        ntot = ncell + 2 * wrap
+        valid = (bmat0 >= 0) & (bmat0 < ntot)
+        bmat0 = jnp.clip(bmat0, 0, ntot - 1)
     bmat = bmat0
     base_p = bmat.reshape(-1)
     w_p = jnp.pad(w, ((0, 0), (0, npad - n)))
@@ -478,31 +496,73 @@ def _slab_call(tab, base, w, CP, S, margin, mode, nanc=3, ncell=None,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, GB=GB, S=S, mode=mode, nanc=nanc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((OR, npad), jnp.float32),
         interpret=interpret,
     )(s, anchors.reshape(-1), base_p.reshape(-1, WIN),
       w_p.reshape(4, npad), tab)
+    if valid is not None:
+        r_ok = _val_rows(mode)
+        out = out.at[r_ok].multiply(
+            valid.reshape(-1).astype(out.dtype))
+    return out
+
+
+def _w_stack(w):
+    """Weights arrive stacked [4, n] or as a tuple of four [n] arrays
+    (the tuple form lets the chunked path below slice the originals
+    instead of materializing a full-ensemble [4, n] copy)."""
+    if isinstance(w, (tuple, list)):
+        return jnp.stack(list(w))
+    return w
 
 
 def _slab_out3(tab, base, w, CP, S, margin, mode, nanc=3,
-               ncell=None, wrap=0, interpret=False):
+               ncell=None, wrap=0, interpret=False, out_rows=None):
     """Kernel output as [nslice, OR, L] — row-major so per-row
-    extraction later is a reshape, not a transposed copy."""
+    extraction later is a reshape, not a transposed copy.
+
+    ``out_rows`` bounds the retained output rows per chunk: the kernel
+    pads OR to a sublane multiple, and at 100M parcels the unsliced
+    [nch, OR, CHUNK] stack alone is ~3 GB (the round-4 100M OOM);
+    slicing inside the chunk map keeps only the useful rows live."""
     n = base.shape[0]
+
+    def crop(res):
+        return res if out_rows is None else res[:out_rows]
+
     if n <= CHUNK:
-        return _slab_call(tab, base, w, CP, S, margin, mode, nanc,
-                          ncell, wrap, interpret)[None]
+        return crop(_slab_call(tab, base, _w_stack(w), CP, S, margin,
+                               mode, nanc, ncell, wrap, interpret))[None]
     nch = -(-n // CHUNK)
     pad = nch * CHUNK - n
+    if pad == 0:
+        # Zero-copy chunking: slice base and each weight row straight
+        # out of the caller's arrays inside the map body — no padded
+        # [4, n] stack, no [nch, 4, CHUNK] transpose (both ~1.5 GB at
+        # 100M).  The bench driver rounds the ensemble to a CHUNK
+        # multiple precisely to stay on this path.
+        ws = (tuple(w) if isinstance(w, (tuple, list))
+              else tuple(w[i] for i in range(w.shape[0])))
+
+        def body(i):
+            i0 = i * CHUNK
+            b = jax.lax.dynamic_slice(base, (i0,), (CHUNK,))
+            wc = jnp.stack([jax.lax.dynamic_slice(wi, (i0,), (CHUNK,))
+                            for wi in ws])
+            return crop(_slab_call(tab, b, wc, CP, S, margin, mode,
+                                   nanc, ncell, wrap, interpret))
+
+        return jax.lax.map(body, jnp.arange(nch))
+    w = _w_stack(w)
     base_p = jnp.pad(base, (0, pad), mode="edge").reshape(nch, CHUNK)
     w_p = jnp.moveaxis(
         jnp.pad(w, ((0, 0), (0, pad))).reshape(4, nch, CHUNK), 1, 0)
     return jax.lax.map(
-        lambda bw: _slab_call(tab, bw[0], bw[1], CP, S, margin, mode,
-                              nanc, ncell, wrap, interpret),
+        lambda bw: crop(_slab_call(tab, bw[0], bw[1], CP, S, margin,
+                                   mode, nanc, ncell, wrap, interpret)),
         (base_p, w_p))
 
 
@@ -549,7 +609,11 @@ def _fix_with_cap(tables, base, w, ok, mode, cap, oy, ox):
 
     def fix(rows_t):
         idx_bad = _compact_bad(ok, cap)
-        w_bad = jnp.take(w, jnp.minimum(idx_bad, n - 1), axis=1)
+        sel = jnp.minimum(idx_bad, n - 1)
+        if isinstance(w, (tuple, list)):
+            w_bad = jnp.stack([jnp.take(wi, sel) for wi in w])
+        else:
+            w_bad = jnp.take(w, sel, axis=1)
         vals = _fb_values(tables, base, w_bad, idx_bad, mode, oy, ox)
         return tuple(r.at[idx_bad].set(v, mode="drop")
                      for r, v in zip(rows_t, vals))
@@ -594,6 +658,13 @@ def _apply_fallback(tables: SlabTables, base, w, rows, ok, mode, cap,
     nbad = jnp.sum((~ok).astype(jnp.int32))
     fix = _fix_with_cap(tables, base, w, ok, mode, cap, oy, ox)
     rows = jax.lax.cond(nbad > 0, fix, lambda r: r, tuple(rows))
+    # The returned fraction is the PRE-fix mean(ok): it counts every
+    # kernel-unserved parcel, including the ones the capped fallback
+    # just repaired, so it strictly over-reports the residual
+    # shortfall — the driver's served_min re-sort/abort guard can
+    # never see a rosier picture than reality (thin-spread stragglers
+    # beyond _compact_bad's group budget keep zeros for at most the
+    # one step before the guard forces a re-sort).
     return rows, jnp.mean(ok.astype(jnp.float32))
 
 
@@ -611,10 +682,10 @@ def interp_uvwt(tables: SlabTables, base, weights, oy: int, ox: int,
     wrap = 2 * ox
     CP, S, nanc = _plan(tables.packT.shape[1], n, ox)
     out3 = _slab_out3(tables.packT, base, weights, CP, S, ox, "uvwt",
-                      nanc, ncell, wrap, interpret)
+                      nanc, ncell, wrap, interpret, out_rows=5)
     ok = _row(out3, 4, n) > 0.5
     rows = [_row(out3, r, n) for r in range(4)]
-    cap = max(WIN, n // cap_frac)
+    cap = max(WIN, min(n // cap_frac, CAP_MAX))
     return _apply_fallback(tables, base + wrap, weights, rows, ok,
                            "uvwt", cap, oy, ox)
 
@@ -626,12 +697,12 @@ def meso_sigma(tables: SlabTables, base, oy: int, ox: int,
     n = base.shape[0]
     wrap = 2 * ox
     CP, S, nanc = _plan(tables.packT.shape[1], n, ox)
-    w = jnp.zeros((4, n), jnp.float32)
+    w = (jnp.zeros(n, jnp.float32),) * 4
     out3 = _slab_out3(tables.packT, base, w, CP, S, ox, "meso", nanc,
-                      ncell, wrap, interpret)
+                      ncell, wrap, interpret, out_rows=4)
     ok = _row(out3, 3, n) > 0.5
     rows = [_row(out3, r, n) for r in range(3)]
-    cap = max(WIN, n // cap_frac)
+    cap = max(WIN, min(n // cap_frac, CAP_MAX))
     return _apply_fallback(tables, base + wrap, w, rows, ok, "meso",
                            cap, oy, ox)
 
@@ -648,12 +719,12 @@ def interp_sfc(tables: SlabTables, basexy, weights, fields,
     wrap = 2 * ny
     CP, S, nanc = _plan(tables.sfcT.shape[1], n, 0)
     mode = ("sfc", tuple(fields))
-    out3 = _slab_out3(tables.sfcT, basexy, weights, CP, S, 0, mode,
-                      nanc, nxy, wrap, interpret)
     nv = len(fields)
+    out3 = _slab_out3(tables.sfcT, basexy, weights, CP, S, 0, mode,
+                      nanc, nxy, wrap, interpret, out_rows=nv + 1)
     ok = _row(out3, nv, n) > 0.5
     rows = [_row(out3, r, n) for r in range(nv)]
-    cap = max(WIN, n // cap_frac)
+    cap = max(WIN, min(n // cap_frac, CAP_MAX))
     return _apply_fallback(tables, basexy + wrap, weights, rows, ok,
                            mode, cap)
 
@@ -679,11 +750,11 @@ def permute_f32_cols(cols, perm, cap_frac: int = 16,
         + [jnp.zeros(npad, jnp.float32)] * (8 - k))
     CP, S, nanc = _plan(npad, n, 0)
     out3 = _slab_out3(tab, perm.astype(jnp.int32),
-                      jnp.zeros((4, n), jnp.float32), CP, S, 0,
-                      "gather8", nanc, None, 0, interpret)
+                      (jnp.zeros(n, jnp.float32),) * 4, CP, S, 0,
+                      "gather8", nanc, None, 0, interpret, out_rows=9)
     ok = _row(out3, 8, n) > 0.5
     rows = [_row(out3, r, n) for r in range(k)]
-    cap = max(WIN, n // cap_frac)
+    cap = max(WIN, min(n // cap_frac, CAP_MAX))
     nbad = jnp.sum((~ok).astype(jnp.int32))
 
     def fix(rows_t):
@@ -716,7 +787,8 @@ def uvwt_from_loc(tables: SlabTables, met01: Met, ts, loc,
     nxc = nx - 1 if met01.lon_periodic else nx    # cyclic period
     base = ((loc.ix * ny + loc.iy) * npl + loc.iz).astype(jnp.int32)
     wt = interp.time_weight(met01, ts)
-    w4 = jnp.stack([loc.wx, loc.wy, loc.wz, wt]).astype(jnp.float32)
+    w4 = tuple(x.astype(jnp.float32)
+               for x in (loc.wx, loc.wy, loc.wz, wt))
     (u, v, w, t), served = interp_uvwt(
         tables, base, w4, npl, ny * npl, nxc * ny * npl,
         interpret=_auto_interpret() if interpret is None else interpret)
@@ -734,8 +806,8 @@ def sfc_from_loc(tables: SlabTables, met01: Met, names, ts, loc,
     nxc = nx - 1 if met01.lon_periodic else nx    # cyclic period
     basexy = (loc.ix * ny + loc.iy).astype(jnp.int32)
     wt = interp.time_weight(met01, ts)
-    w4 = jnp.stack([loc.wx, loc.wy, wt,
-                    jnp.zeros_like(wt)]).astype(jnp.float32)
+    w4 = tuple(x.astype(jnp.float32)
+               for x in (loc.wx, loc.wy, wt, jnp.zeros_like(wt)))
     fields = tuple(SFC_FIELDS.index(name) for name in names)
     vals, served = interp_sfc(
         tables, basexy, w4, fields, ny, nxc * ny,

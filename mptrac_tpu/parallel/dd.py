@@ -289,11 +289,14 @@ def gather_parcels(dd: DDGrid, atm: Atm, cap: int) -> Atm:
 
 
 def make_dd_step(ctl: Ctl, clim: Clim, dd: DDGrid, mesh: Mesh, cap: int,
-                 exch_cap: int, lat_axis):
+                 exch_cap: int, lat_axis, exchange: bool = True):
     """Build the jitted SPMD step: local physics + all_to_all parcel
     migration.  ``exch_cap`` is the per-destination migration capacity
     (static; overflow is counted, mirroring the reference's hard NP
-    check)."""
+    check).  ``exchange=False`` skips the migration phase entirely
+    (physics-only; the bench uses the delta to attribute per-step
+    communication + compaction cost, and the third output becomes the
+    would-migrate parcel count instead of the overflow count)."""
     from mptrac_tpu.physics import pipeline
 
     axis = mesh.axis_names[0]
@@ -335,6 +338,13 @@ def make_dd_step(ctl: Ctl, clim: Clim, dd: DDGrid, mesh: Mesh, cap: int,
         valid = valid & ~lost
         stay = valid & (dest == my)
         move = valid & (dest != my)
+
+        if not exchange:
+            cache2 = cache2.replace(**{
+                k: getattr(cache2, k)[None]
+                for k in CACHE_DEVICE_SCALAR_FIELDS})
+            return (atm2.replace(np=atm2.np[None]), cache2,
+                    jnp.sum(move)[None], jnp.sum(lost)[None])
 
         fields = jnp.stack(
             [atm2.time, atm2.p, atm2.lon, atm2.lat]
